@@ -1,0 +1,440 @@
+"""Ray Data stage builders: every ProjCL capability (and the north-rule
+spatial-join/tiling additions) expressed as a transform over a
+``ray.data.Dataset``.
+
+Design rules (SURVEY §1.3/§7):
+- per-record math = stateless ``map_batches`` with ``batch_format="numpy"``
+  (zero-copy Arrow → NumPy for primitive columns), params frozen in closures
+  (the host-precompute step of the reference, done once at build time);
+- image stages = actor pools (callable classes) in ``batch_format="pyarrow"``;
+- small lookup sides (polygon layers, query matrices) broadcast once via
+  ``ray.put`` and fetched in actor ``__init__`` — never re-shipped per batch;
+- wide ops keyed on ``cell_id`` with optional salting for hot cells.
+
+No function here calls ``ray.init()``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from . import datums as datums_mod
+from . import index as index_mod
+from . import spatial as spatial_mod
+from .geodesic import SPHERE_RADIUS, forward_sphere, haversine, vincenty_direct, vincenty_inverse
+from .images import decode_image, encode_image, phash64
+from .proj import ProjParams, prepare
+from .warp import GeoRef, WarpSpec, warp_image
+
+
+# ---------------------------------------------------------------------------
+# Projections & datum shifts (stateless vectorized stages)
+# ---------------------------------------------------------------------------
+
+
+def project_points(
+    ds: ray.data.Dataset,
+    proj_name: str,
+    params: ProjParams | None = None,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    x_col: str = "x",
+    y_col: str = "y",
+    inverse: bool = False,
+    batch_size: int | None = 128 * 1024,
+    **param_kw,
+) -> ray.data.Dataset:
+    """Forward (or inverse) map projection as a stateless vectorized stage —
+    the Ray shape of pl_project_points_forward/reverse (SURVEY §3.1)."""
+    prepped = prepare(proj_name, params, **param_kw)  # build-time precompute
+    fn = prepped.inverse if inverse else prepped.forward
+    in_a, in_b = (x_col, y_col) if inverse else (lon_col, lat_col)
+    out_a, out_b = (lon_col, lat_col) if inverse else (x_col, y_col)
+
+    def _project(batch: dict) -> dict:
+        with np.errstate(all="ignore"):
+            a, b = fn(batch[in_a], batch[in_b])
+        batch[out_a] = a
+        batch[out_b] = b
+        return batch
+
+    return ds.map_batches(_project, batch_format="numpy", batch_size=batch_size)
+
+
+def shift_datum(
+    ds: ray.data.Dataset,
+    src_datum: str,
+    dst_datum: str,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_lon: str | None = None,
+    out_lat: str | None = None,
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    """Fused 3-stage Helmert shift (matrix pre-concatenated at build time —
+    the reference's 1-matmul-per-point trick, projcl_run.c:823-885)."""
+    out_lon = out_lon or lon_col
+    out_lat = out_lat or lat_col
+
+    def _shift(batch: dict) -> dict:
+        lo, la = datums_mod.shift_datum(batch[lon_col], batch[lat_col], src_datum, dst_datum)
+        batch[out_lon] = lo
+        batch[out_lat] = la
+        return batch
+
+    return ds.map_batches(_shift, batch_format="numpy", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic stages
+# ---------------------------------------------------------------------------
+
+
+def geodesic_distance(
+    ds: ray.data.Dataset,
+    *,
+    lon1="lon1",
+    lat1="lat1",
+    lon2="lon2",
+    lat2="lat2",
+    out="distance_m",
+    method: str = "haversine",
+    spheroid: str = "WGS_84",
+    radius: float = SPHERE_RADIUS,
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    """Row-wise inverse geodesic (pl_inverse_geodesic_s semantics for
+    'haversine'; Vincenty ellipsoidal otherwise, incl. azimuth columns)."""
+
+    def _hav(batch: dict) -> dict:
+        batch[out] = haversine(batch[lon1], batch[lat1], batch[lon2], batch[lat2], radius)
+        return batch
+
+    def _vin(batch: dict) -> dict:
+        d, a12, a21 = vincenty_inverse(batch[lon1], batch[lat1], batch[lon2], batch[lat2], spheroid)
+        batch[out] = d
+        batch["azi1_deg"] = a12
+        batch["azi2_deg"] = a21
+        return batch
+
+    fn = _hav if method == "haversine" else _vin
+    return ds.map_batches(fn, batch_format="numpy", batch_size=batch_size)
+
+
+def forward_geodesic(
+    ds: ray.data.Dataset,
+    azimuths_deg: Iterable[float],
+    distance_m: float,
+    *,
+    lon_col="lon",
+    lat_col="lat",
+    method: str = "sphere",
+    spheroid: str = "WGS_84",
+    radius: float = SPHERE_RADIUS,
+    batch_size: int | None = 32 * 1024,
+) -> ray.data.Dataset:
+    """“Blast radius” fan-out: each input point × each azimuth → destination
+    point rows (the reference's fixed-distance cross product,
+    src/projcl_run.c:694-745, as a controlled flat-map)."""
+    az = np.asarray(list(azimuths_deg), np.float64)
+
+    def _fan(batch: dict) -> dict:
+        lon = np.asarray(batch[lon_col], np.float64)
+        lat = np.asarray(batch[lat_col], np.float64)
+        n, m = len(lon), len(az)
+        if method == "sphere":
+            lon2, lat2 = forward_sphere(lon[:, None], lat[:, None], az[None, :], distance_m, radius)
+        else:
+            lon2, lat2, _ = vincenty_direct(lon[:, None], lat[:, None], az[None, :], distance_m, spheroid)
+        out = {k: np.repeat(np.asarray(v), m) for k, v in batch.items()}
+        out["azimuth_deg"] = np.tile(az, n)
+        out["lon2"] = lon2.ravel()
+        out["lat2"] = lat2.ravel()
+        return out
+
+    return ds.map_batches(_fan, batch_format="numpy", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Cell assignment, salting
+# ---------------------------------------------------------------------------
+
+
+def assign_cells(
+    ds: ray.data.Dataset,
+    *,
+    lon_col="lon",
+    lat_col="lat",
+    out="cell_id",
+    res_deg: float = index_mod.DEFAULT_RES_DEG,
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    def _cells(batch: dict) -> dict:
+        batch[out] = index_mod.cell_id(batch[lon_col], batch[lat_col], res_deg)
+        return batch
+
+    return ds.map_batches(_cells, batch_format="numpy", batch_size=batch_size)
+
+
+def salt_hot_keys(
+    ds: ray.data.Dataset,
+    key_col: str,
+    hot_keys: dict[int, int],
+    *,
+    hash_col: str,
+    out: str = "salted_key",
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    """Skew mitigation: append ``key*K + (hash % fanout)`` for keys listed in
+    ``hot_keys`` (key → fanout), identity salt otherwise. ``hot_keys`` comes
+    from a cheap count pre-pass; it is tiny and closure-captured."""
+    max_fanout = max(hot_keys.values(), default=1)
+
+    def _salt(batch: dict) -> dict:
+        keys = np.asarray(batch[key_col], np.int64)
+        hashes = np.asarray(batch[hash_col])
+        fanouts = np.ones(len(keys), np.int64)
+        for k, f in hot_keys.items():
+            fanouts[keys == k] = f
+        batch[out] = keys * max_fanout + (hashes % fanouts)
+        return batch
+
+    return ds.map_batches(_salt, batch_format="numpy", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Image warp + tile actor stage
+# ---------------------------------------------------------------------------
+
+
+class WarpTileActor:
+    """Actor-pool stage: decode → warp to the target projection → cut tiles →
+    emit one row per tile.
+
+    State built once per actor (__init__ = pl_context_init + pl_compile_code +
+    param precompute): the prepared projection and the warp policy. Batches
+    should be small (images are wide rows).
+
+    Output schema: image_id, caption, cell_id, tile_col, tile_row, tile_idx,
+    tile_size, bytes (raw RGBA), w, h, fmt, center_lon, center_lat.
+    """
+
+    def __init__(self, proj_name: str, params: ProjParams, *, tile_size: int = 64,
+                 dst_px: float | None = None, filter: str = "bilinear",
+                 dst_datum: str | None = None,
+                 res_deg: float = index_mod.DEFAULT_RES_DEG):
+        self.prepped = prepare(proj_name, params)
+        self.proj_name = proj_name
+        self.params = params
+        self.tile_size = tile_size
+        self.filter = filter
+        self.dst_datum = dst_datum
+        self.res_deg = res_deg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .warp import default_warp_window
+
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "image_id", "caption", "cell_id", "tile_col", "tile_row", "tile_idx",
+                "tile_size", "bytes", "w", "h", "fmt", "center_lon", "center_lat",
+            )
+        }
+        cols = {name: batch[name].to_pylist() for name in
+                ("image_id", "bytes", "w", "h", "fmt", "caption", "lon0", "lat0", "px_deg", "src_datum")}
+        for i in range(batch.num_rows):
+            img = decode_image(cols["bytes"][i], cols["w"][i], cols["h"][i], cols["fmt"][i])
+            georef = GeoRef(cols["lon0"][i], cols["lat0"][i], cols["px_deg"][i])
+            ox, oy, sx, sy = default_warp_window(self.prepped, georef, cols["w"][i], cols["h"][i])
+            spec = WarpSpec(
+                self.proj_name, self.params, ox, oy, sx, sy,
+                cols["w"][i], cols["h"][i], filter=self.filter,
+                src_datum=cols["src_datum"][i], dst_datum=self.dst_datum,
+            )
+            with np.errstate(all="ignore"):
+                warped = warp_image(img, georef, spec, self.prepped)
+            warped8 = np.clip(warped, 0, 255).astype(np.uint8)
+            # geographic center of each tile for cell assignment
+            for tx, ty, tidx, tile in index_mod.cut_tiles(warped8, self.tile_size):
+                cx = ox + sx * min((tx + 0.5) * self.tile_size / max(spec.width - 1, 1), 1.0)
+                cy = oy + sy * min((ty + 0.5) * self.tile_size / max(spec.height - 1, 1), 1.0)
+                with np.errstate(all="ignore"):
+                    clon, clat = self.prepped.inverse(np.array([cx]), np.array([cy]))
+                cid = int(index_mod.cell_id(clon, clat, self.res_deg)[0])
+                out["image_id"].append(cols["image_id"][i])
+                out["caption"].append(cols["caption"][i])
+                out["cell_id"].append(cid)
+                out["tile_col"].append(tx)
+                out["tile_row"].append(ty)
+                out["tile_idx"].append(tidx)
+                out["tile_size"].append(self.tile_size)
+                out["bytes"].append(encode_image(tile))
+                out["w"].append(tile.shape[1])
+                out["h"].append(tile.shape[0])
+                out["fmt"].append("raw")
+                out["center_lon"].append(float(clon[0]))
+                out["center_lat"].append(float(clat[0]))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "caption": pa.array(out["caption"], pa.string()),
+                "cell_id": pa.array(out["cell_id"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int32()),
+                "tile_row": pa.array(out["tile_row"], pa.int32()),
+                "tile_idx": pa.array(out["tile_idx"], pa.int32()),
+                "tile_size": pa.array(out["tile_size"], pa.int32()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "center_lon": pa.array(out["center_lon"], pa.float64()),
+                "center_lat": pa.array(out["center_lat"], pa.float64()),
+            }
+        )
+
+
+def warp_and_tile(
+    ds: ray.data.Dataset,
+    proj_name: str,
+    params: ProjParams | None = None,
+    *,
+    tile_size: int = 64,
+    filter: str = "bilinear",
+    dst_datum: str | None = None,
+    res_deg: float = index_mod.DEFAULT_RES_DEG,
+    batch_size: int = 16,
+    concurrency: int | tuple[int, int] = (2, 8),
+    **param_kw,
+) -> ray.data.Dataset:
+    """The flagship image stage: actor-pool warp+tile (SURVEY §3.2 Ray shape)."""
+    params = params or ProjParams(**param_kw)
+    return ds.map_batches(
+        WarpTileActor,
+        fn_constructor_args=(proj_name, params),
+        fn_constructor_kwargs=dict(
+            tile_size=tile_size, filter=filter, dst_datum=dst_datum, res_deg=res_deg
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIP join & kNN (broadcast small side; shuffle path keyed on cell_id)
+# ---------------------------------------------------------------------------
+
+
+class PIPJoinActor:
+    """Broadcast PIP join: polygon layer fetched once per actor from the object
+    store; per batch, candidate-filter by bbox then exact ray-crossing test.
+    Emits one output row per (point, containing polygon) pair."""
+
+    def __init__(self, polys_ref, lon_col: str, lat_col: str):
+        polys = ray.get(polys_ref) if isinstance(polys_ref, ray.ObjectRef) else polys_ref
+        self.poly_ids: list = [p[0] for p in polys]
+        self.polys: list[np.ndarray] = [np.asarray(p[1], np.float64) for p in polys]
+        self.bboxes = np.array([spatial_mod.polygon_bbox(p) for p in self.polys])
+        self.lon_col, self.lat_col = lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        row_idx: list[np.ndarray] = []
+        poly_ids: list[np.ndarray] = []
+        for pid, poly, (x0, y0, x1, y1) in zip(self.poly_ids, self.polys, self.bboxes):
+            cand = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+            if not cand.any():
+                continue
+            ci = np.nonzero(cand)[0]
+            hit = spatial_mod.point_in_polygon(lon[ci], lat[ci], poly)
+            hits = ci[hit]
+            if len(hits):
+                row_idx.append(hits)
+                poly_ids.append(np.full(len(hits), pid, dtype=object))
+        if not row_idx:
+            t = batch.slice(0, 0)
+            return t.append_column("poly_id", pa.array([], pa.string()))
+        rows = np.concatenate(row_idx)
+        pids = np.concatenate(poly_ids)
+        order = np.argsort(rows, kind="stable")
+        taken = batch.take(pa.array(rows[order]))
+        return taken.append_column("poly_id", pa.array([str(p) for p in pids[order]], pa.string()))
+
+
+def pip_join(
+    ds: ray.data.Dataset,
+    polygons: list[tuple[str, np.ndarray]],
+    *,
+    lon_col="lon",
+    lat_col="lat",
+    batch_size: int | None = 64 * 1024,
+    concurrency: int | tuple[int, int] = (2, 8),
+) -> ray.data.Dataset:
+    """Point-in-polygon join against a small polygon layer (broadcast once)."""
+    ref = ray.put(polygons)
+    return ds.map_batches(
+        PIPJoinActor,
+        fn_constructor_args=(ref, lon_col, lat_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class KnnActor:
+    """Geodesic kNN against a broadcast point set: per batch, candidate cells →
+    brute-force haversine top-k. For large target sets, pre-bucket targets by
+    cell and probe ring-of-cells (partitioning assumption: k nearest lie within
+    `ring` cells — callers size res_deg accordingly)."""
+
+    def __init__(self, targets_ref, k: int, lon_col: str, lat_col: str):
+        tgt = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
+        self.tgt_ids = np.asarray(tgt[0])
+        self.tgt_lon = np.asarray(tgt[1], np.float64)
+        self.tgt_lat = np.asarray(tgt[2], np.float64)
+        self.k = k
+        self.lon_col, self.lat_col = lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        idx, dist = spatial_mod.knn_brute(lon, lat, self.tgt_lon, self.tgt_lat, self.k)
+        n, k = idx.shape
+        rep = np.repeat(np.arange(n), k)
+        out = batch.take(pa.array(rep))
+        out = out.append_column("neighbor_id", pa.array(self.tgt_ids[idx.ravel()]))
+        out = out.append_column("neighbor_rank", pa.array(np.tile(np.arange(k), n), pa.int32()))
+        out = out.append_column("distance_m", pa.array(dist.ravel(), pa.float64()))
+        return out
+
+
+def knn_join(
+    ds: ray.data.Dataset,
+    target_ids,
+    target_lon,
+    target_lat,
+    k: int,
+    *,
+    lon_col="lon",
+    lat_col="lat",
+    batch_size: int | None = 32 * 1024,
+    concurrency: int | tuple[int, int] = (2, 8),
+) -> ray.data.Dataset:
+    ref = ray.put((np.asarray(target_ids), np.asarray(target_lon), np.asarray(target_lat)))
+    return ds.map_batches(
+        KnnActor,
+        fn_constructor_args=(ref, k, lon_col, lat_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,104 @@
+"""Geodesic correctness: haversine vs the reference formula, spherical direct
+round-trips, Vincenty direct↔inverse self-consistency (sub-mm), adversarial
+cases (FIXTURES.md §4), and known published values."""
+
+import numpy as np
+import pytest
+
+from projcl_ray.geodesic import (
+    SPHERE_RADIUS,
+    forward_sphere,
+    haversine,
+    haversine_matrix,
+    vincenty_direct,
+    vincenty_inverse,
+)
+
+rng = np.random.default_rng(42)
+N = 5000
+LON1 = rng.uniform(-60, 60, N)
+LAT1 = rng.uniform(-40, 80, N)
+AZ = rng.uniform(0, 360, N)
+DIST = np.exp(rng.uniform(0, np.log(5e6), N))  # 1 m .. 5000 km
+
+
+def test_haversine_matrix_matches_pairwise():
+    m = haversine_matrix(LON1[:50], LAT1[:50], LON1[50:80], LAT1[50:80])
+    assert m.shape == (50, 30)
+    d = haversine(LON1[0], LAT1[0], LON1[50], LAT1[50])
+    assert abs(m[0, 0] - d) < 1e-9
+
+
+def test_haversine_known_value():
+    # quarter meridian on the reference sphere: equator to pole
+    d = haversine(0.0, 0.0, 0.0, 90.0)
+    assert abs(d - SPHERE_RADIUS * np.pi / 2) < 1e-6
+    # same point → 0
+    assert haversine(10.0, 10.0, 10.0, 10.0) == 0.0
+
+
+def test_sphere_direct_consistent_with_haversine():
+    lon2, lat2 = forward_sphere(LON1, LAT1, AZ, DIST)
+    d = haversine(LON1, LAT1, lon2, lat2)
+    assert np.max(np.abs(d - DIST)) < 1e-6
+
+
+def test_sphere_direct_cardinal_directions():
+    # due north 1 degree of arc
+    arc = SPHERE_RADIUS * np.pi / 180.0
+    lon2, lat2 = forward_sphere(0.0, 0.0, 0.0, arc)
+    assert abs(lat2 - 1.0) < 1e-12 and abs(lon2) < 1e-12
+    # due east along the equator
+    lon2, lat2 = forward_sphere(0.0, 0.0, 90.0, arc)
+    assert abs(lon2 - 1.0) < 1e-12 and abs(lat2) < 1e-12
+
+
+def test_vincenty_direct_inverse_roundtrip_submm():
+    lon2, lat2, _ = vincenty_direct(LON1, LAT1, AZ, DIST)
+    d, a12, _ = vincenty_inverse(LON1, LAT1, lon2, lat2)
+    assert np.max(np.abs(d - DIST)) < 1e-3  # sub-millimeter (north-star target)
+    daz = np.abs(((a12 - AZ + 180) % 360) - 180)
+    assert np.max(daz * DIST) < 1e-2  # azimuth error scaled by distance < 1 cm
+
+
+def test_vincenty_known_geodesics():
+    # Flinders Peak → Buninyong: THE published Vincenty test case
+    # (Geoscience Australia; s = 54972.271 m)
+    lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+    lon1 = 144 + 25 / 60 + 29.52440 / 3600
+    lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+    lon2 = 143 + 55 / 60 + 35.38390 / 3600
+    d, a12, a21 = vincenty_inverse(lon1, lat1, lon2, lat2, "GRS_80")
+    assert abs(d - 54972.271) < 0.002
+    # forward azimuth 306°52'05.37"
+    assert abs(a12 - (306 + 52 / 60 + 5.37 / 3600)) < 1e-4
+
+
+def test_vincenty_adversarial():
+    # same point
+    d, _, _ = vincenty_inverse(10.0, 10.0, 10.0, 10.0)
+    assert d == 0.0
+    # equatorial
+    d, a12, _ = vincenty_inverse(0.0, 0.0, 10.0, 0.0)
+    a = 6378137.0
+    assert abs(d - np.radians(10) * a) < 1e-3
+    assert abs(a12 - 90.0) < 1e-9
+    # meridional
+    d, a12, _ = vincenty_inverse(0.0, 0.0, 0.0, 10.0)
+    assert abs(a12 - 0.0) < 1e-9
+    # near-pole
+    d, _, _ = vincenty_inverse(0.0, 89.9, 90.0, 89.9)
+    assert 0 < d < 30000
+    # near-antipodal: must not blow up (falls back to last iterate)
+    d, _, _ = vincenty_inverse(0.0, 0.0, 179.6, 0.4)
+    assert np.isfinite(d) and d > 1.9e7
+
+
+def test_vincenty_direct_matches_sphere_when_f_zero():
+    # On the auxiliary sphere (f=0) Vincenty reduces to the great-circle form
+    lon2v, lat2v, _ = vincenty_direct(LON1[:500], LAT1[:500], AZ[:500], DIST[:500],
+                                      spheroid="WGS_84_MAJOR_AUXILIARY_SPHERE")
+    lon2s, lat2s = forward_sphere(LON1[:500], LAT1[:500], AZ[:500], DIST[:500],
+                                  radius=6378137.0)
+    np.testing.assert_allclose(lon2v, lon2s, atol=1e-9)
+    np.testing.assert_allclose(lat2v, lat2s, atol=1e-9)

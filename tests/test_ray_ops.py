@@ -1,0 +1,150 @@
+"""End-to-end Ray Data stage tests: parquet → derive points → project/shift/
+geodesic stages → cells → warp+tile actor pool → PIP join → kNN join.
+
+Uses one session-scoped Ray (conftest) and the driver-generated testdata.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from projcl_ray import ops
+from projcl_ray.images import synth_images_table, decode_image
+from projcl_ray.proj import ProjParams, prepare
+from projcl_ray.spatial import make_convex_polygon, point_in_polygon
+
+
+def lineitem_points(ray_session, sf_dir, limit=None):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive(batch):
+        ok = np.asarray(batch["l_orderkey"], np.float64)
+        pk = np.asarray(batch["l_partkey"], np.float64)
+        return {
+            "point_id": np.asarray(batch["l_orderkey"]) * 10 + np.asarray(batch["l_partkey"]) % 10,
+            "lon": -60.0 + np.mod(ok * 7.0 + pk * 13.0, 1200.0) / 10.0,
+            "lat": -40.0 + np.mod(ok * 11.0 + pk * 3.0, 1200.0) / 10.0,
+        }
+
+    ds = ds.map_batches(derive, batch_format="numpy")
+    return ds.limit(limit) if limit else ds
+
+
+def test_project_stage_matches_local(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir)
+    out = ops.project_points(ds, "mercator", spheroid="WGS_84").to_pandas()
+    p = prepare("mercator", spheroid="WGS_84")
+    x, y = p.forward(out["lon"].to_numpy(), out["lat"].to_numpy())
+    np.testing.assert_allclose(out["x"].to_numpy(), x, rtol=1e-14)
+    np.testing.assert_allclose(out["y"].to_numpy(), y, rtol=1e-14)
+
+
+def test_project_inverse_stage_roundtrip(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir)
+    fwd = ops.project_points(ds, "transverse_mercator", spheroid="WGS_84")
+    back = ops.project_points(
+        fwd, "transverse_mercator", spheroid="WGS_84", inverse=True,
+        lon_col="lon2", lat_col="lat2",
+    ).to_pandas()
+    np.testing.assert_allclose(back["lon2"], back["lon"], atol=1e-7)
+    np.testing.assert_allclose(back["lat2"], back["lat"], atol=1e-7)
+
+
+def test_datum_shift_stage(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir, limit=2000)
+    out = ops.shift_datum(ds, "WGS_84", "NAD_27", out_lon="lon_n27", out_lat="lat_n27").to_pandas()
+    from projcl_ray.datums import shift_datum as local_shift
+
+    lo, la = local_shift(out["lon"].to_numpy(), out["lat"].to_numpy(), "WGS_84", "NAD_27")
+    np.testing.assert_allclose(out["lon_n27"], lo, atol=1e-12)
+    np.testing.assert_allclose(out["lat_n27"], la, atol=1e-12)
+
+
+def test_forward_geodesic_fanout(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir, limit=100)
+    az = [0.0, 90.0, 180.0, 270.0]
+    out = ops.forward_geodesic(ds, az, 50_000.0).to_pandas()
+    assert len(out) == 100 * 4
+    from projcl_ray.geodesic import haversine
+
+    d = haversine(out["lon"], out["lat"], out["lon2"], out["lat2"])
+    np.testing.assert_allclose(d, 50_000.0, atol=1e-6)
+
+
+def test_assign_cells_stage(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir, limit=5000)
+    out = ops.assign_cells(ds, res_deg=5.0).to_pandas()
+    from projcl_ray.index import cell_id
+
+    np.testing.assert_array_equal(
+        out["cell_id"], cell_id(out["lon"].to_numpy(), out["lat"].to_numpy(), 5.0)
+    )
+
+
+def test_warp_and_tile_actor_pool(ray_session):
+    import ray.data as rd
+
+    tbl = synth_images_table(12, seed=42)
+    ds = rd.from_arrow(tbl)
+    tiles = ops.warp_and_tile(
+        ds, "mercator", ProjParams(spheroid="WGS_84"),
+        tile_size=64, batch_size=4, concurrency=2,
+    )
+    df = tiles.to_pandas()
+    assert len(df) >= 12  # at least one tile per image
+    assert set(df.columns) >= {"image_id", "caption", "cell_id", "tile_idx", "bytes", "w", "h"}
+    # captions survive byte-identical (input_hint invariant)
+    src_caps = {r["image_id"]: r["caption"] for r in tbl.to_pylist()}
+    for iid, cap in zip(df["image_id"], df["caption"]):
+        assert cap == src_caps[iid]
+    # tiles decode to the declared size
+    r0 = df.iloc[0]
+    img = decode_image(r0["bytes"], r0["w"], r0["h"], r0["fmt"])
+    assert img.shape == (64, 64, 4)
+    # row-first tile convention
+    assert np.all(df["tile_idx"] >= df["tile_col"])
+
+
+def test_pip_join_matches_local_oracle(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir, limit=4000)
+    polys = [(f"poly{j:04d}", make_convex_polygon(-30 + 20 * j, 10 * j - 20, 8.0, 8, seed=j)) for j in range(4)]
+    out = ops.pip_join(ds, polys).to_pandas()
+    pdf = ds.to_pandas()
+    expected = 0
+    for pid, poly in polys:
+        expected += point_in_polygon(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), poly).sum()
+    assert len(out) == expected
+    # spot-verify membership
+    for _, row in out.head(50).iterrows():
+        poly = dict(polys)[row["poly_id"]]
+        assert point_in_polygon(np.array([row["lon"]]), np.array([row["lat"]]), poly)[0]
+
+
+def test_knn_join_matches_brute(ray_session, sf_dir):
+    ds = lineitem_points(ray_session, sf_dir, limit=500)
+    rng = np.random.default_rng(0)
+    t_ids = np.array([f"t{i}" for i in range(40)])
+    t_lon = rng.uniform(-60, 60, 40)
+    t_lat = rng.uniform(-40, 80, 40)
+    out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=3).to_pandas()
+    assert len(out) == 500 * 3
+    from projcl_ray.spatial import knn_brute
+
+    pdf = ds.to_pandas().sort_values(["lon", "lat"]).reset_index(drop=True)
+    idx, dist = knn_brute(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), t_lon, t_lat, 3)
+    got = out.sort_values(["lon", "lat", "neighbor_rank"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["distance_m"].to_numpy().reshape(-1, 3), dist, rtol=1e-12)
+
+
+def test_salt_hot_keys(ray_session, sf_dir):
+    ds = ops.assign_cells(lineitem_points(ray_session, sf_dir, limit=3000), res_deg=30.0)
+    counts = ds.groupby("cell_id").count().to_pandas()
+    hot = {int(r["cell_id"]): 4 for _, r in counts.iterrows() if r["count()"] > 500}
+    if not hot:
+        pytest.skip("no hot cells at this scale")
+    salted = ops.salt_hot_keys(ds, "cell_id", hot, hash_col="point_id").to_pandas()
+    fan = salted.groupby("cell_id")["salted_key"].nunique()
+    for cid, n in fan.items():
+        assert n == (4 if cid in hot else 1)

@@ -1,0 +1,151 @@
+"""Warp + sampler correctness: the reference's exact sampling conventions
+(+0.5 round-half-up nearest with zero border; bilinear floor-lerp; bicubic
+Catmull-Rom with edge clamp and [0,255] output clamp), grid endpoint
+inclusivity, identity warps, and PSNR golden checks (FIXTURES.md §6)."""
+
+import numpy as np
+import pytest
+
+from projcl_ray.images import decode_image, encode_image, phash64, synth_pixels
+from projcl_ray.proj import ProjParams, prepare
+from projcl_ray.warp import (
+    GeoRef,
+    WarpSpec,
+    default_warp_window,
+    dest_grid,
+    sample_bicubic,
+    sample_bilinear,
+    sample_nearest,
+    sample_quasi_bicubic,
+    warp_image,
+)
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+IMG = synth_pixels(0, 32, 24).astype(np.float64)
+
+
+def test_dest_grid_inclusive_endpoints():
+    """pl_load_grid: step = size/(count−1), endpoints inclusive (SURVEY §1.1)."""
+    gx, gy = dest_grid(10.0, 20.0, 5.0, 3.0, 6, 4)
+    assert gx[0, 0] == 10.0 and gx[0, -1] == 15.0
+    assert gy[0, 0] == 20.0 and gy[-1, 0] == 23.0
+    assert gx.shape == (4, 6)
+
+
+def test_nearest_round_half_up_and_border():
+    # at integer coords: floor(x+0.5)=x → exact texel
+    out = sample_nearest(IMG, np.array([[3.0]]), np.array([[5.0]]))
+    np.testing.assert_array_equal(out[0, 0], IMG[5, 3])
+    # .49 rounds down, .5 rounds up (floor(x+0.5))
+    out = sample_nearest(IMG, np.array([[3.49, 3.5]]), np.array([[5.0, 5.0]]))
+    np.testing.assert_array_equal(out[0, 0], IMG[5, 3])
+    np.testing.assert_array_equal(out[0, 1], IMG[5, 4])
+    # outside → border zero (CLK_ADDRESS_CLAMP)
+    out = sample_nearest(IMG, np.array([[-1.0, 100.0]]), np.array([[0.0, 0.0]]))
+    assert np.all(out == 0)
+
+
+def test_bilinear_exact_at_texels_and_midpoint():
+    out = sample_bilinear(IMG, np.array([[7.0]]), np.array([[9.0]]))
+    np.testing.assert_allclose(out[0, 0], IMG[9, 7])
+    out = sample_bilinear(IMG, np.array([[7.5]]), np.array([[9.0]]))
+    np.testing.assert_allclose(out[0, 0], 0.5 * (IMG[9, 7] + IMG[9, 8]))
+    out = sample_bilinear(IMG, np.array([[7.0]]), np.array([[9.5]]))
+    np.testing.assert_allclose(out[0, 0], 0.5 * (IMG[9, 7] + IMG[10, 7]))
+
+
+def test_bicubic_interpolates_exactly_on_linear_ramps():
+    """Catmull-Rom reproduces linear functions exactly (interior)."""
+    ramp = np.tile(np.arange(32, dtype=np.float64)[None, :, None], (24, 1, 3))
+    px = np.array([[5.25, 10.75]])
+    py = np.array([[6.5, 12.0]])
+    out = sample_bicubic(ramp, px, py)
+    np.testing.assert_allclose(out[0, 0], 5.25, atol=1e-12)
+    np.testing.assert_allclose(out[0, 1], 10.75, atol=1e-12)
+    # and passes through texel values
+    out = sample_bicubic(IMG, np.array([[4.0]]), np.array([[4.0]]))
+    np.testing.assert_allclose(out[0, 0], IMG[4, 4], atol=1e-12)
+
+
+def test_bicubic_output_clamped():
+    spike = np.zeros((8, 8, 1))
+    spike[3:5, 3:5] = 300.0  # overshoot source
+    out = sample_bicubic(spike, np.full((1, 1), 3.5), np.full((1, 1), 2.5))
+    assert 0.0 <= out.min() and out.max() <= 255.0
+
+
+def test_quasi_bicubic_between_bilinear_and_bicubic():
+    px, py = np.meshgrid(np.linspace(1.2, 30.2, 40), np.linspace(1.3, 22.3, 30))
+    q = sample_quasi_bicubic(IMG, px, py)
+    b = sample_bicubic(IMG, px, py)
+    l = sample_bilinear(IMG, px, py)
+    assert psnr(q, b) > 30  # close to full cubic
+    assert np.mean(np.abs(q - b)) < np.mean(np.abs(l - b)) + 1.0
+
+
+def test_identity_warp_mercator_psnr():
+    """Warp into Mercator and back at matched resolution: geometry is smooth
+    so bilinear round-trip must stay sharp (PSNR ≥ 40 dB on the interior)."""
+    img = synth_pixels(3, 64, 64)
+    georef = GeoRef(lon0=10.0, lat0=50.0, px_deg=0.01)
+    params = ProjParams(spheroid="WGS_84")
+    prepped = prepare("mercator", params)
+    ox, oy, sx, sy = default_warp_window(prepped, georef, 64, 64)
+    spec = WarpSpec("mercator", params, ox, oy, sx, sy, 64, 64, filter="bilinear")
+    warped = warp_image(img, georef, spec)
+    # inverse warp: project each source pixel into the merc window, sample back
+    gx, gy = np.meshgrid(np.arange(64, dtype=float), np.arange(64, dtype=float))
+    lon = georef.lon0 + georef.px_deg * gx
+    lat = georef.lat0 - georef.px_deg * gy
+    mx, my = prepped.forward(lon, lat)
+    px = (mx - ox) / sx * (64 - 1)
+    py = (my - oy) / sy * (64 - 1)
+    back = sample_bilinear(warped, px, py)
+    interior = (slice(2, -2), slice(2, -2))
+    p = psnr(back[interior], img.astype(np.float64)[interior])
+    assert p >= 40.0, p
+
+
+@pytest.mark.parametrize("filt", ["nearest", "bilinear", "bicubic", "quasi_bicubic"])
+def test_warp_filters_produce_valid_output(filt):
+    img = synth_pixels(1, 48, 40)
+    georef = GeoRef(lon0=-20.0, lat0=30.0, px_deg=0.05)
+    params = ProjParams(spheroid="SPHERE", rlat1=30, rlat2=60)
+    prepped = prepare("albers_equal_area", params)
+    ox, oy, sx, sy = default_warp_window(prepped, georef, 48, 40)
+    spec = WarpSpec("albers_equal_area", params, ox, oy, sx, sy, 48, 40, filter=filt)
+    out = warp_image(img, georef, spec)
+    assert out.shape == (40, 48, 4)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0 and out.max() <= 255
+    # the warped window covers the source, so most pixels should be non-zero
+    assert (out[..., 3] > 0).mean() > 0.5
+
+
+def test_warp_with_datum_shift_runs():
+    img = synth_pixels(2, 32, 32)
+    georef = GeoRef(lon0=5.0, lat0=47.0, px_deg=0.01)
+    params = ProjParams(spheroid="WGS_84")
+    prepped = prepare("mercator", params)
+    ox, oy, sx, sy = default_warp_window(prepped, georef, 32, 32)
+    spec = WarpSpec("mercator", params, ox, oy, sx, sy, 32, 32,
+                    filter="bilinear", src_datum="CH_1903", dst_datum="WGS_84")
+    out = warp_image(img, georef, spec)
+    base = warp_image(img, georef, WarpSpec("mercator", params, ox, oy, sx, sy, 32, 32))
+    # a ~200 m Swiss shift at 0.01°/px ≈ 0.2 px → small but nonzero difference
+    assert not np.array_equal(out, base)
+
+
+def test_codec_roundtrip_and_phash():
+    img = synth_pixels(5, 40, 30)
+    buf = encode_image(img)
+    assert decode_image(buf, 40, 30, "raw").tobytes() == img.tobytes()
+    assert phash64(img) == phash64(img.copy())
+    assert phash64(img) != phash64(synth_pixels(6, 40, 30))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "png")
