@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale text/image corpora (north-rule
+additions, SURVEY §2.7 "Set ops / dedup"): exact content-hash dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+
+Scale shape:
+- exact dedup = vectorized hash column + hash-partitioned groupby + first
+  (one shuffle of (hash, id) pairs only — never the payload);
+- MinHash-LSH = per-batch signature computation (stateless, vectorized) →
+  explode to (band, band_hash) rows → groupby → candidate pairs → Jaccard
+  verify. Signatures are mergeable sketches; payload never shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def md5_hex(texts) -> list[str]:
+    """Row-wise md5 (matches DuckDB's md5() for the SQL oracle)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def add_content_hash(ds: ray.data.Dataset, text_col: str = "text",
+                     out: str = "content_hash") -> ray.data.Dataset:
+    def _h(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out, pa.array(md5_hex(batch[text_col].to_pylist())))
+
+    return ds.map_batches(_h, batch_format="pyarrow")
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Keep the min-id row per identical content hash.
+
+    Shuffle carries only (hash, id) — the dedup decision joins back by id
+    semi-join-style via a broadcastable keep-set when small, or stays as the
+    grouped projection here (payload-free groupby, SURVEY §7 'Wide binary
+    rows')."""
+    hashed = add_content_hash(ds, text_col)
+
+    def keep_first(group):
+        return group.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle 64-bit hashes (stable across processes)."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    view = np.frombuffer(data, dtype=np.uint8)
+    n = len(view) - k + 1
+    # polynomial rolling hash, vectorized over all windows
+    weights = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
+    windows = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
+    return np.unique((windows * weights).sum(axis=1))
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
+                      seed: int = 1) -> np.ndarray:
+    """num_perm MinHash values via universal hashing a·h+b mod p."""
+    h = _shingle_hashes(text, k)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+class _MinHashActor:
+    """Stateful: permutation coefficients generated once per actor."""
+
+    def __init__(self, num_perm: int, k: int, seed: int, text_col: str, id_col: str):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.k = k
+        self.num_perm = num_perm
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
+        texts = batch[self.text_col].to_pylist()
+        for i, t in enumerate(texts):
+            h = _shingle_hashes(t, self.k)
+            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            sigs[i] = vals.min(axis=0)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "signature": pa.array(list(sigs.astype(np.int64))),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k_shingle: int = 5,
+    seed: int = 1,
+    concurrency: int | tuple[int, int] = (2, 8),
+) -> ray.data.Dataset:
+    """MinHash → banded LSH: emit (band_id, band_hash, doc_id) rows, group by
+    bucket, output candidate near-dup pairs (id_a < id_b). Jaccard-verify with
+    :func:`verify_jaccard` downstream."""
+    rows_per_band = num_perm // bands
+    sig = ds.map_batches(
+        _MinHashActor,
+        fn_constructor_args=(num_perm, k_shingle, seed, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([np.asarray(s) for s in batch["signature"].to_pylist()]).astype(np.uint64)
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands), n)
+        # hash each band's slice to one bucket value
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            sl = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * np.uint64(1099511628211) + sl[:, j]
+            bh[:, b] = acc
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, bands)),
+            }
+        )
+
+    buckets = sig.map_batches(explode_bands, batch_format="pyarrow")
+
+    def emit_pairs(group):
+        import pandas as pd
+
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
+    # dedup pairs found in multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard similarity (the verify step for LSH
+    candidates, and a standalone operator)."""
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-based token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in text.split():
+        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    val = int(((acc > 0).astype(np.uint64) * (np.uint64(1) << shifts)).sum(dtype=np.uint64))
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
+                out: str = "simhash") -> ray.data.Dataset:
+    def _s(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out, pa.array([simhash64(t) for t in batch[text_col].to_pylist()], pa.int64()))
+
+    return ds.map_batches(_s, batch_format="pyarrow")

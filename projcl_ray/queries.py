@@ -1,0 +1,812 @@
+"""The correctness-gate query suite: every operator from SURVEY §2 (plus the
+north-rule/data-pipeline additions) as a (Ray pipeline, DuckDB oracle SQL)
+pair over the driver's testdata tables.
+
+Conventions that make hash-compare robust:
+- geographic inputs are DERIVED deterministically from table keys with
+  arithmetic reproduced verbatim in the SQL (exact in float64 — integers,
+  fmod, /10);
+- float outputs are quantized at the reference's own tolerance before compare:
+  projected meters → floor(x) (ref guarantees 10 m), degrees →
+  floor(x·1e4) ≈ 10 m (ref guarantees 1 arc-sec ≈ 30 m). This absorbs ≤1-ulp
+  libm differences between NumPy and DuckDB; everything else is integer/string
+  exact;
+- every computed column carries the same name in the Ray result and the SQL.
+
+Host-precomputed projection constants are inlined into the SQL as full-
+precision literals (repr round-trips through DuckDB's parser to the same
+double), mirroring how the reference folds them into kernel args.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from . import ann, dedup, ops, text
+from .datums import concat_shift_matrix, DATUM_SPHEROID
+from .geodesic import SPHERE_RADIUS, haversine, vincenty_inverse
+from .index import DEFAULT_RES_DEG
+from .pipelines import derive_points, flagship, nation_boxes
+from .proj import ProjParams, prepare
+from .proj.base import msfn, qsfn, tsfn
+from .proj.robinson import _X, _Y, C1, RC1, FXC, FYC, NODES
+from .spheroid import get_spheroid
+
+R = SPHERE_RADIUS
+A_WGS = get_spheroid("WGS_84").major_axis
+E_WGS = get_spheroid("WGS_84").ecc
+
+# --- shared SQL fragments ---------------------------------------------------
+
+LON_SQL = "(-60.0 + fmod(l_orderkey*7.0 + l_partkey*13.0, 1200.0)/10.0)"
+LAT_SQL = "(-40.0 + fmod(l_orderkey*11.0 + l_partkey*3.0, 1200.0)/10.0)"
+PTS_SQL = f"SELECT l_orderkey, l_partkey, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM lineitem"
+
+
+def _asinh(t: str) -> str:
+    return f"ln(({t}) + sqrt(({t})*({t}) + 1.0))"
+
+
+def _atanh(t: str) -> str:
+    return f"(0.5*ln((1.0+({t}))/(1.0-({t}))))"
+
+
+def _sinh(t: str) -> str:
+    return f"((exp({t}) - exp(-({t})))/2.0)"
+
+
+def _quant_df(df: pd.DataFrame, spec: dict[str, float]) -> pd.DataFrame:
+    for col, scale in spec.items():
+        v = df[col].to_numpy(np.float64) * scale
+        if scale > 1.0:  # degree-valued lattice outputs: round-to-nearest
+            v = v + 0.5
+        df[col] = np.floor(v).astype(np.int64)
+    return df
+
+
+def _hav_sql(lon1, lat1, lon2, lat2, radius=R):
+    return (
+        f"2.0*{radius!r}*asin(least(sqrt("
+        f"sin(radians(({lat2})-({lat1}))/2.0)*sin(radians(({lat2})-({lat1}))/2.0)"
+        f"+ cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*sin(radians(({lon2})-({lon1}))/2.0)*sin(radians(({lon2})-({lon1}))/2.0)), 1.0))"
+    )
+
+
+# --- query registry ---------------------------------------------------------
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str | callable] = {}
+
+
+def q(name: str, oracle: str | callable | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Forward projections (oracle-checked, floor-to-meter outputs)
+# ---------------------------------------------------------------------------
+
+
+def _proj_query(proj_name: str, **param_kw):
+    def run(sf_dir: str):
+        ds = ops.project_points(derive_points(sf_dir), proj_name, **param_kw)
+        df = ds.select_columns(["l_orderkey", "l_partkey", "x", "y"]).to_pandas()
+        df = _quant_df(df, {"x": 1.0, "y": 1.0})
+        return df.rename(columns={"x": "x_m", "y": "y_m"})
+
+    return run
+
+
+QUERIES["project_mercator_sphere_fwd"] = _proj_query("mercator", spheroid="SPHERE")
+ORACLES["project_mercator_sphere_fwd"] = f"""
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * radians(lon)) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * {_asinh('tan(radians(lat))')}) AS BIGINT) AS y_m
+FROM ({PTS_SQL})
+"""
+
+QUERIES["project_mercator_ell_fwd"] = _proj_query("mercator", spheroid="WGS_84")
+ORACLES["project_mercator_ell_fwd"] = f"""
+SELECT l_orderkey, l_partkey,
+  CAST(floor({A_WGS!r} * radians(lon)) AS BIGINT) AS x_m,
+  CAST(floor({A_WGS!r} * ({_asinh('tan(radians(lat))')} - {E_WGS!r}*{_atanh(f'{E_WGS!r}*sin(radians(lat))')})) AS BIGINT) AS y_m
+FROM ({PTS_SQL})
+"""
+
+QUERIES["project_tmerc_sphere_fwd"] = _proj_query("transverse_mercator", spheroid="SPHERE")
+_k_tm_s = get_spheroid("SPHERE").krueger_A * R
+ORACLES["project_tmerc_sphere_fwd"] = f"""
+SELECT l_orderkey, l_partkey,
+  CAST(floor({_k_tm_s!r} * {_asinh('sin(radians(lon))/sqrt(tan(radians(lat))*tan(radians(lat)) + cos(radians(lon))*cos(radians(lon)))')}) AS BIGINT) AS x_m,
+  CAST(floor({_k_tm_s!r} * atan2(tan(radians(lat)), cos(radians(lon)))) AS BIGINT) AS y_m
+FROM ({PTS_SQL})
+"""
+
+
+def _lcc_sphere_consts(rlat1=30.0, rlat2=60.0, lat0=0.0):
+    phi1, phi2_, phi0 = map(math.radians, (rlat1, rlat2, lat0))
+    n = math.log(math.cos(phi1) / math.cos(phi2_)) / (
+        math.asinh(math.tan(phi2_)) - math.asinh(math.tan(phi1))
+    )
+    c = math.cos(phi1) * math.tan(math.pi / 4 + 0.5 * phi1) ** n / n
+    rho0 = c * math.tan(math.pi / 4 + 0.5 * phi0) ** (-n)
+    return n, c, rho0
+
+
+QUERIES["project_lcc_sphere_fwd"] = _proj_query(
+    "lambert_conformal_conic", spheroid="SPHERE", rlat1=30, rlat2=60
+)
+_n, _c, _rho0 = _lcc_sphere_consts()
+ORACLES["project_lcc_sphere_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam,
+      {_c!r} * exp(-{_n!r} * {_asinh('tan(radians(lat))')}) AS rho FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * rho * sin(lam * {_n!r})) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * ({_rho0!r} - rho * cos(lam * {_n!r}))) AS BIGINT) AS y_m
+FROM r
+"""
+
+
+def _albers_sphere_consts(rlat1=30.0, rlat2=60.0, lat0=0.0):
+    phi1, phi2_, phi0 = map(math.radians, (rlat1, rlat2, lat0))
+    n = 0.5 * (math.sin(phi1) + math.sin(phi2_))
+    c = 1.0 + math.sin(phi2_) * math.sin(phi1)
+    rho0 = math.sqrt(c - 2.0 * n * math.sin(phi0))
+    return n, c, rho0
+
+
+QUERIES["project_albers_sphere_fwd"] = _proj_query(
+    "albers_equal_area", spheroid="SPHERE", rlat1=30, rlat2=60
+)
+_an, _ac, _arho0 = _albers_sphere_consts()
+ORACLES["project_albers_sphere_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam,
+      sqrt({_ac!r} - 2.0*{_an!r}*sin(radians(lat))) AS rho FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R / _an!r} * rho * sin(lam * {_an!r})) AS BIGINT) AS x_m,
+  CAST(floor({R / _an!r} * ({_arho0!r} - rho * cos(lam * {_an!r}))) AS BIGINT) AS y_m
+FROM r
+"""
+
+QUERIES["project_laea_sphere_fwd"] = _proj_query("lambert_azimuthal_equal_area", spheroid="SPHERE")
+ORACLES["project_laea_sphere_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam, radians(lat) AS phi,
+      sqrt(2.0/(1.0 + cos(radians(lat))*cos(radians(lon)))) AS b FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * b * cos(phi) * sin(lam)) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * b * sin(phi)) AS BIGINT) AS y_m
+FROM r
+"""
+
+QUERIES["project_winkel_fwd"] = _proj_query("winkel_tripel", spheroid="SPHERE")
+_cosphi1 = 2.0 / math.pi
+ORACLES["project_winkel_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon)/2.0 AS lam2, radians(lat) AS phi,
+      acos(greatest(least(cos(radians(lat))*cos(radians(lon)/2.0), 1.0), -1.0)) AS d,
+      cos(radians(lat))*cos(radians(lon)/2.0) AS cosd FROM p),
+s AS (SELECT *, CASE WHEN d = 0.0 THEN 1.0 ELSE d / sqrt(1.0 - cosd*cosd) END AS dsin FROM r)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * (lam2 * {_cosphi1!r} + dsin * cos(phi) * sin(lam2))) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * 0.5 * (phi + dsin * sin(phi))) AS BIGINT) AS y_m
+FROM s
+"""
+
+QUERIES["project_polyconic_sphere_fwd"] = _proj_query("american_polyconic", spheroid="SPHERE", lat0=10.0)
+_phi0_poly = math.radians(10.0)
+ORACLES["project_polyconic_sphere_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam, radians(lat) AS phi,
+      sin(radians(lat)) AS sp, cos(radians(lat)) AS cp FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * (CASE WHEN abs(sp) < 1e-12 THEN lam
+        ELSE cp/sp * sin(lam*sp) END)) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * (CASE WHEN abs(sp) < 1e-12 THEN phi - {_phi0_poly!r}
+        ELSE phi - {_phi0_poly!r} + cp/sp * sin(lam*sp) * tan(0.5*lam*sp) END)) AS BIGINT) AS y_m
+FROM r
+"""
+
+
+def _stereo_consts(lat0=10.0, lon0=0.0):
+    info = get_spheroid("WGS_84")
+    p = prepare("oblique_stereographic", spheroid="WGS_84", lat0=lat0, lon0=lon0)
+    # recompute the inlined constants exactly as the prep does
+    phi0 = math.radians(lat0)
+    sin0, cos0 = math.sin(phi0), math.cos(phi0)
+    scale_r2 = 2.0 * info.major_axis * math.sqrt(info.one_ecc2) / (1.0 - info.ecc2 * sin0 * sin0)
+    c0 = math.sqrt(1.0 + info.ecc2 * cos0**4 / info.one_ecc2)
+    phiC0 = math.asin(sin0 / c0)
+    k0 = math.tan(0.5 * phiC0 + math.pi / 4) / (
+        math.tan(0.5 * phi0 + math.pi / 4) ** c0
+        * ((1.0 - info.ecc * sin0) / (1.0 + info.ecc * sin0)) ** (0.5 * c0 * info.ecc)
+    )
+    return scale_r2, c0, math.log(k0), math.sin(phiC0), math.cos(phiC0)
+
+
+QUERIES["project_stereographic_fwd"] = _proj_query("oblique_stereographic", spheroid="WGS_84", lat0=10.0)
+_sr2, _sc0, _slogk0, _ssin, _scos = _stereo_consts()
+ORACLES["project_stereographic_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+conf AS (SELECT l_orderkey, l_partkey, {_sc0!r} * radians(lon) AS lam,
+  atan({_sinh(f"{_slogk0!r} + {_sc0!r}*({_asinh('tan(radians(lat))')} - {E_WGS!r}*{_atanh(f'{E_WGS!r}*sin(radians(lat))')})")}) AS phi
+  FROM p),
+k AS (SELECT *, {_sr2!r} / (1.0 + {_ssin!r}*sin(phi) + {_scos!r}*cos(phi)*cos(lam)) AS kf FROM conf)
+SELECT l_orderkey, l_partkey,
+  CAST(floor(kf * cos(phi) * sin(lam)) AS BIGINT) AS x_m,
+  CAST(floor(kf * ({_scos!r}*sin(phi) - {_ssin!r}*cos(phi)*cos(lam))) AS BIGINT) AS y_m
+FROM k
+"""
+
+
+def _robinson_case(table: np.ndarray, z_expr: str, idx_expr: str) -> str:
+    branches = []
+    for i in range(NODES + 1):
+        c = table[i]
+        poly = f"({c[0]!r} + {z_expr}*({c[1]!r} + {z_expr}*({c[2]!r} + {z_expr}*{c[3]!r})))"
+        branches.append(f"WHEN {idx_expr} = {i} THEN {poly}")
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+QUERIES["project_robinson_fwd"] = _proj_query("robinson", spheroid="SPHERE")
+_rob_idx = f"least(CAST(floor(abs(radians(lat)) * {C1!r}) AS BIGINT), {NODES - 1})"
+_rob_z = f"degrees(abs(radians(lat)) - {RC1!r} * ({_rob_idx}))"
+ORACLES["project_robinson_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam, lat,
+      {_rob_idx} AS idx, {_rob_z} AS z FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({R!r} * ({_robinson_case(_X, 'z', 'idx')}) * {FXC!r} * lam) AS BIGINT) AS x_m,
+  CAST(floor({R!r} * (CASE WHEN lat < 0 THEN -1.0 ELSE 1.0 END)
+       * abs(({_robinson_case(_Y, 'z', 'idx')}) * {FYC!r})) AS BIGINT) AS y_m
+FROM r
+"""
+
+
+# --- inverse projection round-trip (oracle: identity at 1e-4° quantization) --
+
+
+@q(
+    "project_tmerc_sphere_roundtrip",
+    f"""
+SELECT l_orderkey, l_partkey,
+  CAST(floor(lon * 10000.0 + 0.5) AS BIGINT) AS lon_q,
+  CAST(floor(lat * 10000.0 + 0.5) AS BIGINT) AS lat_q
+FROM ({PTS_SQL})
+""",
+)
+def q_tmerc_roundtrip(sf_dir: str):
+    ds = ops.project_points(derive_points(sf_dir), "transverse_mercator", spheroid="WGS_84")
+    ds = ops.project_points(ds, "transverse_mercator", spheroid="WGS_84", inverse=True,
+                            lon_col="lon_rt", lat_col="lat_rt")
+    df = ds.select_columns(["l_orderkey", "l_partkey", "lon_rt", "lat_rt"]).to_pandas()
+    df = _quant_df(df, {"lon_rt": 1e4, "lat_rt": 1e4})
+    return df.rename(columns={"lon_rt": "lon_q", "lat_rt": "lat_q"})
+
+
+# ---------------------------------------------------------------------------
+# Datum shift (oracle: full 3-stage Helmert in SQL with inlined fused matrix)
+# ---------------------------------------------------------------------------
+
+
+def _datum_oracle(src: str, dst: str) -> str:
+    m = concat_shift_matrix(src, dst)
+    s_sph = get_spheroid(DATUM_SPHEROID.get(src, "WGS_84"))
+    d_sph = get_spheroid(DATUM_SPHEROID.get(dst, "WGS_84"))
+    return f"""
+WITH p AS ({PTS_SQL}),
+g AS (SELECT l_orderkey, l_partkey,
+    {s_sph.major_axis!r}/sqrt(1.0 - {s_sph.ecc2!r}*sin(radians(lat))*sin(radians(lat))) AS r,
+    radians(lon) AS lam, radians(lat) AS phi FROM p),
+xyz AS (SELECT l_orderkey, l_partkey,
+    r*cos(phi)*cos(lam) AS X, r*cos(phi)*sin(lam) AS Y, r*{s_sph.one_ecc2!r}*sin(phi) AS Z FROM g),
+t AS (SELECT l_orderkey, l_partkey,
+    {m[0,0]!r}*X + {m[0,1]!r}*Y + {m[0,2]!r}*Z + {m[0,3]!r} AS X2,
+    {m[1,0]!r}*X + {m[1,1]!r}*Y + {m[1,2]!r}*Z + {m[1,3]!r} AS Y2,
+    {m[2,0]!r}*X + {m[2,1]!r}*Y + {m[2,2]!r}*Z + {m[2,3]!r} AS Z2 FROM xyz),
+b AS (SELECT l_orderkey, l_partkey, X2, Y2, Z2,
+    sqrt(X2*X2 + Y2*Y2) AS W, Z2*1.0026 AS T0,
+    sqrt(Z2*1.0026*Z2*1.0026 + X2*X2 + Y2*Y2) AS S0 FROM t),
+f AS (SELECT l_orderkey, l_partkey,
+    degrees(atan2(Y2, X2)) AS lon2,
+    degrees(atan2(Z2 + {d_sph.minor_axis!r}*{d_sph.ecc2!r}/{d_sph.one_ecc2!r}*(T0/S0)*(T0/S0)*(T0/S0),
+                  W - {d_sph.major_axis!r}*{d_sph.ecc2!r}*(W/S0)*(W/S0)*(W/S0))) AS lat2 FROM b)
+SELECT l_orderkey, l_partkey,
+  CAST(floor(lon2 * 10000.0 + 0.5) AS BIGINT) AS lon_q,
+  CAST(floor(lat2 * 10000.0 + 0.5) AS BIGINT) AS lat_q
+FROM f
+"""
+
+
+@q("datum_shift_wgs84_nad27", _datum_oracle("WGS_84", "NAD_27"))
+def q_datum_shift(sf_dir: str):
+    ds = ops.shift_datum(derive_points(sf_dir), "WGS_84", "NAD_27",
+                         out_lon="lon2", out_lat="lat2")
+    df = ds.select_columns(["l_orderkey", "l_partkey", "lon2", "lat2"]).to_pandas()
+    df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
+    return df.rename(columns={"lon2": "lon_q", "lat2": "lat_q"})
+
+
+# ---------------------------------------------------------------------------
+# Geodesics
+# ---------------------------------------------------------------------------
+
+CUST_PT = (
+    "SELECT c_custkey, "
+    "(-60.0 + fmod(c_custkey*7.0 + c_nationkey*13.0, 1200.0)/10.0) AS lon, "
+    "(-40.0 + fmod(c_custkey*11.0 + c_nationkey*3.0, 1200.0)/10.0) AS lat FROM customer"
+)
+SUPP_PT = (
+    "SELECT s_suppkey, "
+    "(-60.0 + fmod(s_suppkey*31.0, 1200.0)/10.0) AS lon, "
+    "(-40.0 + fmod(s_suppkey*37.0, 1200.0)/10.0) AS lat FROM supplier"
+)
+
+
+def _customer_points(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def derive(batch: dict) -> dict:
+        ck = np.asarray(batch["c_custkey"], np.float64)
+        nk = np.asarray(batch["c_nationkey"], np.float64)
+        return {
+            "c_custkey": np.asarray(batch["c_custkey"]),
+            "lon": -60.0 + np.mod(ck * 7.0 + nk * 13.0, 1200.0) / 10.0,
+            "lat": -40.0 + np.mod(ck * 11.0 + nk * 3.0, 1200.0) / 10.0,
+        }
+
+    return ds.map_batches(derive, batch_format="numpy")
+
+
+def _supplier_points(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.asarray(t["s_suppkey"], np.float64)
+    return (
+        t["s_suppkey"].to_numpy(),
+        -60.0 + np.mod(sk * 31.0, 1200.0) / 10.0,
+        -40.0 + np.mod(sk * 37.0, 1200.0) / 10.0,
+    )
+
+
+@q(
+    "geodesic_haversine_pairs",
+    f"""
+WITH p AS ({PTS_SQL}),
+p2 AS (SELECT l_orderkey, l_partkey, lon, lat,
+  (-60.0 + fmod(l_orderkey*13.0 + l_partkey*7.0, 1200.0)/10.0) AS lon2,
+  (-40.0 + fmod(l_orderkey*3.0 + l_partkey*11.0, 1200.0)/10.0) AS lat2 FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({_hav_sql('lon', 'lat', 'lon2', 'lat2')}) AS BIGINT) AS dist_m
+FROM p2
+""",
+)
+def q_haversine_pairs(sf_dir: str):
+    ds = derive_points(sf_dir)
+
+    def second_point(batch: dict) -> dict:
+        ok = np.asarray(batch["l_orderkey"], np.float64)
+        pk = np.asarray(batch["l_partkey"], np.float64)
+        batch["lon2"] = -60.0 + np.mod(ok * 13.0 + pk * 7.0, 1200.0) / 10.0
+        batch["lat2"] = -40.0 + np.mod(ok * 3.0 + pk * 11.0, 1200.0) / 10.0
+        return batch
+
+    ds = ds.map_batches(second_point, batch_format="numpy")
+    ds = ops.geodesic_distance(ds, lon1="lon", lat1="lat", lon2="lon2", lat2="lat2",
+                               out="dist", method="haversine")
+    df = ds.select_columns(["l_orderkey", "l_partkey", "dist"]).to_pandas()
+    df = _quant_df(df, {"dist": 1.0})
+    return df.rename(columns={"dist": "dist_m"})
+
+
+@q(
+    "geodesic_distance_matrix",
+    f"""
+WITH c AS ({CUST_PT}), s AS ({SUPP_PT})
+SELECT c.c_custkey, s.s_suppkey,
+  CAST(floor({_hav_sql('c.lon', 'c.lat', 's.lon', 's.lat')}) AS BIGINT) AS dist_m
+FROM c CROSS JOIN s
+""",
+)
+def q_distance_matrix(sf_dir: str):
+    """The reference's many-to-many distance table (pl_inverse_geodesic_s):
+    small side broadcast, one row per (customer, supplier) pair."""
+    cust = _customer_points(sf_dir)
+    s_ids, s_lon, s_lat = _supplier_points(sf_dir)
+
+    def cross(batch: dict) -> dict:
+        n, m = len(batch["c_custkey"]), len(s_ids)
+        d = haversine(
+            np.asarray(batch["lon"])[:, None], np.asarray(batch["lat"])[:, None],
+            s_lon[None, :], s_lat[None, :],
+        )
+        return {
+            "c_custkey": np.repeat(np.asarray(batch["c_custkey"]), m),
+            "s_suppkey": np.tile(s_ids, n),
+            "dist_m": np.floor(d.ravel()).astype(np.int64),
+        }
+
+    return cust.map_batches(cross, batch_format="numpy")
+
+
+@q(
+    "forward_geodesic_sphere",
+    f"""
+WITH c AS ({CUST_PT}),
+az(azimuth_deg) AS (VALUES (0.0), (90.0), (180.0), (270.0)),
+x AS (SELECT c.*, az.azimuth_deg,
+  {500000.0 / R!r} AS dr, radians(az.azimuth_deg) AS azr,
+  sin(radians(lat)) AS sp, cos(radians(lat)) AS cp FROM c CROSS JOIN az),
+o AS (SELECT c_custkey, azimuth_deg,
+  asin(least(greatest(sp*cos(dr) + cp*sin(dr)*cos(azr), -1.0), 1.0)) AS phi2,
+  radians(lon) + atan2(sin(dr)*sin(azr), cp*cos(dr) - sp*sin(dr)*cos(azr)) AS lam2 FROM x)
+SELECT c_custkey, azimuth_deg,
+  CAST(floor(degrees(CASE WHEN abs(lam2) > pi() THEN lam2 - 2.0*pi()*sign(lam2) ELSE lam2 END) * 10000.0 + 0.5) AS BIGINT) AS lon2_q,
+  CAST(floor(degrees(phi2) * 10000.0 + 0.5) AS BIGINT) AS lat2_q
+FROM o
+""",
+)
+def q_forward_geodesic(sf_dir: str):
+    ds = ops.forward_geodesic(_customer_points(sf_dir), [0.0, 90.0, 180.0, 270.0], 500000.0)
+    df = ds.select_columns(["c_custkey", "azimuth_deg", "lon2", "lat2"]).to_pandas()
+    df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
+    return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
+
+
+@q("vincenty_inverse_matrix")  # iterative — no SQL oracle (rows-only check)
+def q_vincenty_matrix(sf_dir: str):
+    cust = _customer_points(sf_dir)
+    s_ids, s_lon, s_lat = _supplier_points(sf_dir)
+
+    def cross(batch: dict) -> dict:
+        n, m = len(batch["c_custkey"]), len(s_ids)
+        d, a12, a21 = vincenty_inverse(
+            np.asarray(batch["lon"])[:, None], np.asarray(batch["lat"])[:, None],
+            s_lon[None, :], s_lat[None, :],
+        )
+        return {
+            "c_custkey": np.repeat(np.asarray(batch["c_custkey"]), m),
+            "s_suppkey": np.tile(s_ids, n),
+            "dist_m": np.floor(d.ravel()).astype(np.int64),
+            "azi1_q": np.floor(a12.ravel() * 1e4).astype(np.int64),
+        }
+
+    return cust.map_batches(cross, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# Cells, PIP join, kNN
+# ---------------------------------------------------------------------------
+
+CELL_SQL = (
+    f"(CAST(least(greatest(floor((lat + 90.0)/{DEFAULT_RES_DEG!r}), 0.0), {180/DEFAULT_RES_DEG - 1:.1f}) AS BIGINT) * {int(360/DEFAULT_RES_DEG)}"
+    f" + CAST(least(greatest(floor((lon + 180.0)/{DEFAULT_RES_DEG!r}), 0.0), {360/DEFAULT_RES_DEG - 1:.1f}) AS BIGINT))"
+)
+
+
+@q(
+    "cell_assign_counts",
+    f"""
+SELECT {CELL_SQL} AS cell_id, COUNT(*) AS n
+FROM ({PTS_SQL})
+GROUP BY 1
+""",
+)
+def q_cell_counts(sf_dir: str):
+    ds = ops.assign_cells(derive_points(sf_dir), res_deg=DEFAULT_RES_DEG)
+    return ds.groupby("cell_id").aggregate(Count(alias_name="n"))
+
+
+@q("pip_join_boxes", None)  # oracle attached below (built from the same box math)
+def q_pip_boxes(sf_dir: str):
+    ds = derive_points(sf_dir)
+    polys = nation_boxes(sf_dir)
+    out = ops.pip_join(ds, polys).select_columns(["l_orderkey", "l_partkey", "poly_id"])
+    return out.groupby("poly_id").aggregate(
+        Count(alias_name="n"), Sum("l_orderkey", alias_name="sum_ok")
+    )
+
+
+ORACLES["pip_join_boxes"] = f"""
+WITH p AS ({PTS_SQL}),
+boxes AS (SELECT n_name AS poly_id,
+  (-60.0 + fmod(n_nationkey*29.0, 100.0)) AS lon0,
+  (-40.0 + fmod(n_nationkey*17.0, 100.0)) AS lat0,
+  (6.0 + (n_nationkey % 5) * 2.0) AS w,
+  (5.0 + (n_nationkey % 7)) AS h
+  FROM nation)
+SELECT b.poly_id, COUNT(*) AS n, CAST(SUM(p.l_orderkey) AS BIGINT) AS sum_ok
+FROM p JOIN boxes b
+  ON p.lon >= b.lon0 AND p.lon < b.lon0 + b.w AND p.lat >= b.lat0 AND p.lat < b.lat0 + b.h
+GROUP BY b.poly_id
+"""
+
+
+@q(
+    "knn_customers_suppliers",
+    f"""
+WITH c AS ({CUST_PT}), s AS ({SUPP_PT}),
+d AS (SELECT c.c_custkey, s.s_suppkey,
+  {_hav_sql('c.lon', 'c.lat', 's.lon', 's.lat')} AS dist FROM c CROSS JOIN s),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rk FROM d)
+SELECT c_custkey, s_suppkey, CAST(rk - 1 AS BIGINT) AS neighbor_rank,
+  CAST(floor(dist) AS BIGINT) AS dist_m
+FROM r WHERE rk <= 3
+""",
+)
+def q_knn(sf_dir: str):
+    cust = _customer_points(sf_dir)
+    s_ids, s_lon, s_lat = _supplier_points(sf_dir)
+    out = ops.knn_join(cust, s_ids, s_lon, s_lat, k=3).to_pandas()
+    out["s_suppkey"] = out["neighbor_id"].astype(np.int64)
+    out["neighbor_rank"] = out["neighbor_rank"].astype(np.int64)
+    out["dist_m"] = np.floor(out["distance_m"].to_numpy()).astype(np.int64)
+    return out[["c_custkey", "s_suppkey", "neighbor_rank", "dist_m"]]
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / ANN
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id"
+    " FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dedup.exact_dedup(ds)
+    return out.select_columns(["content_hash", "doc_id"])
+
+
+@q(
+    "text_token_count",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,"
+    " CAST(length(text) AS BIGINT) AS n_chars_q FROM documents",
+)
+def q_token_count(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = text.add_token_count(ds)
+
+    def chars(batch: pa.Table) -> pa.Table:
+        n = pa.array([len(t) for t in batch["text"].to_pylist()], pa.int64())
+        return batch.append_column("n_chars_q", n)
+
+    return ds.map_batches(chars, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_chars_q"]
+    )
+
+
+@q("text_quality_scores")  # heuristic composite — rows-only
+def q_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(text.QualityScoreActor, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "n_tokens", "stop_ratio", "quality"])
+
+
+@q("text_langid")  # heuristic — rows-only
+def q_langid(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(text.LangIdActor, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+@q("text_fingerprint")  # custom rolling hash — rows-only
+def q_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+@q("dedup_simhash")  # rows-only
+def q_simhash(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.add_simhash(ds).select_columns(["doc_id", "simhash"])
+
+
+@q("dedup_minhash_lsh")  # rows-only
+def q_minhash(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_candidates(ds, concurrency=2)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+d AS (SELECT q.query_id, e.vec_id,
+  list_cosine_similarity(e.embedding, q.qe) AS sim FROM embeddings e CROSS JOIN q),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk FROM d)
+SELECT query_id, vec_id, CAST(rk - 1 AS BIGINT) AS rank
+FROM r WHERE rk <= 10
+""",
+)
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    head = head[head["vec_id"] < 5]
+    q_ids = head["vec_id"].to_numpy()
+    q_mat = np.stack(head["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann.ann_brute_topk(ds, q_ids, q_mat, k=10, concurrency=2).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+@q("ann_ivf_topk")  # approximate — rows-only
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().head(5)
+    q_ids = head["vec_id"].to_numpy()
+    q_mat = np.stack(head["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = ann.train_centroids(ds, 8, seed=0)
+    return ann.ivf_topk(ds, q_ids, q_mat, k=5, centroids=cents, nprobe=4)
+
+
+@q("ann_cosine_neardup")  # rows-only
+def q_cosine_dup(sf_dir: str):
+    # the synthetic embeddings are near-random (max off-diagonal cosine ≈ 0.51),
+    # so use a low demo threshold; production near-dup would use ≥0.95
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.cosine_dup_pairs(ds, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (groupby/join/sort/window over the star schema)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_lineitem_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(floor(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+  CAST(floor(SUM(l_extendedprice)) AS BIGINT) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n"),
+    ).to_pandas()
+    return _quant_df(out, {"sum_qty": 1.0, "sum_price": 1.0})
+
+
+@q(
+    "join_orders_per_nation",
+    """
+SELECT n.n_name, COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join: dimension tables (customer→nation map) built
+    driver-side and applied inside map_batches — no shuffle of the fact
+    table."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cmap = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    lookup = {ck: nmap[nk] for ck, nk in cmap.items()}
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_name"] = batch["o_custkey"].map(lookup)
+        return batch
+
+    joined = ds.map_batches(attach, batch_format="pandas")
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+@q(
+    "sort_top_orders",
+    """
+SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_m
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_top_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    top["price_m"] = np.floor(top["o_totalprice"].to_numpy()).astype(np.int64)
+    return top[["o_orderkey", "price_m"]]
+
+
+@q(
+    "events_hourly_window",
+    """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def q_events_window(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def window(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["ts"].dt.floor("h").astype("datetime64[us]")
+        return batch[["event_type", "window_start", "value"]]
+
+    agg = ds.map_batches(window, batch_format="pandas").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = agg.to_pandas()
+    out["sum_value"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    return out
+
+
+@q(
+    "filter_high_value_orders",
+    """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders WHERE o_totalprice > 1000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def q_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice", "o_orderstatus"]
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["o_totalprice"], 1000.0),
+                                   pc.equal(t["o_orderstatus"], "O"))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# Image pipelines (warp semantics are not SQL-expressible — rows-only checks;
+# the real pixel correctness gate is tests/test_warp.py's PSNR goldens)
+# ---------------------------------------------------------------------------
+
+
+@q("warp_tile_pipeline")
+def q_warp_tiles(sf_dir: str):
+    from .images import synth_images_table
+
+    ds = rd.from_arrow(synth_images_table(32, seed=42))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8, concurrency=2)
+    return tiles.select_columns(
+        ["image_id", "caption", "cell_id", "tile_col", "tile_row", "tile_idx", "w", "h"]
+    )
+
+
+@q("flagship_cells")
+def q_flagship(sf_dir: str):
+    return flagship(n_images=32, concurrency=2)

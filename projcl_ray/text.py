@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(n-gram/stopword heuristic), quality scoring, token counting, document
+fingerprinting (rolling hash). All vectorized-or-cheap per batch; regexes and
+stopword tables are actor state (compiled once).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+TOKEN_RE = re.compile(r"\S+")
+WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
+
+# Tiny public stopword seeds per language (enough for a heuristic classifier
+# over the synthetic corpus; real deployments would plug in fastText etc.)
+STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con", "para", "se"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "ein", "eine", "auf"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "est", "que", "dans", "pour", "qui", "au"},
+}
+
+
+class LangIdActor:
+    """Heuristic language ID: CJK codepoint ratio → zh; else argmax stopword
+    hit-rate over the language tables; 'und' when nothing matches."""
+
+    def __init__(self, text_col: str = "text", out: str = "lang_pred"):
+        self.text_col, self.out = text_col, out
+        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+        if cjk / max(len(text), 1) > 0.05:
+            return "zh"
+        words = [w.lower() for w in WORD_RE.findall(text)]
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, table in self.tables.items():
+            score = sum(1 for w in words if w in table) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.0 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out] = [self.classify(t) for t in batch[self.text_col]]
+        return batch
+
+
+def add_token_count(ds: ray.data.Dataset, text_col: str = "text",
+                    out: str = "n_tokens") -> ray.data.Dataset:
+    """Whitespace token count (matches DuckDB
+    len(regexp_extract_all(text, '\\S+')) for the oracle)."""
+
+    def _c(batch: pa.Table) -> pa.Table:
+        counts = [len(TOKEN_RE.findall(t)) for t in batch[text_col].to_pylist()]
+        return batch.append_column(out, pa.array(counts, pa.int64()))
+
+    return ds.map_batches(_c, batch_format="pyarrow")
+
+
+class QualityScoreActor:
+    """Length/punctuation/stopword quality features + composite score.
+
+    Emits: n_chars_q (int64), n_tokens (int64), punct_ratio, stop_ratio,
+    mean_token_len, quality (all float64).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = frozenset().union(*STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].tolist()
+        n_chars = np.array([len(t) for t in texts], np.int64)
+        toks = [TOKEN_RE.findall(t) for t in texts]
+        n_tok = np.array([len(t) for t in toks], np.int64)
+        punct = np.array([len(PUNCT_RE.findall(t)) for t in texts], np.float64)
+        stop = np.array(
+            [sum(1 for w in ts if w.lower() in self.stop) for ts in toks], np.float64
+        )
+        mean_len = np.array(
+            [np.mean([len(w) for w in ts]) if ts else 0.0 for ts in toks], np.float64
+        )
+        batch["n_chars_q"] = n_chars
+        batch["n_tokens"] = n_tok
+        batch["punct_ratio"] = punct / np.maximum(n_chars, 1)
+        batch["stop_ratio"] = stop / np.maximum(n_tok, 1)
+        batch["mean_token_len"] = mean_len
+        # composite in [0,1]: enough text, some stopwords, sane token lengths
+        batch["quality"] = (
+            np.clip(n_chars / 200.0, 0, 1) * 0.4
+            + np.clip(batch["stop_ratio"] * 5.0, 0, 1) * 0.3
+            + np.clip(1.0 - np.abs(mean_len - 5.0) / 5.0, 0, 1) * 0.3
+        )
+        return batch
+
+
+def fingerprint64(text: str, window: int = 8) -> int:
+    """Winnowing-style document fingerprint: min rolling-hash over windows of
+    the token-hash sequence, combined order-sensitively."""
+    def _fnv(w: str) -> int:  # process-stable token hash (Python hash() is salted)
+        acc = 1469598103934665603
+        for byt in w.encode("utf-8"):
+            acc = (acc * 1099511628211) ^ byt
+            acc &= (1 << 64) - 1
+        return acc & ((1 << 61) - 1)
+
+    hs = np.array([np.uint64(_fnv(w)) for w in text.split()], dtype=np.uint64)
+    if len(hs) == 0:
+        return 0
+    if len(hs) < window:
+        window = len(hs)
+    win = np.lib.stride_tricks.sliding_window_view(hs, window)
+    mins = win.min(axis=1)
+    acc = np.uint64(1469598103934665603)
+    for m in mins:
+        acc = np.uint64((int(acc) * 1099511628211 + int(m)) & ((1 << 64) - 1))
+    v = int(acc)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
+                    out: str = "fingerprint") -> ray.data.Dataset:
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out, pa.array([fingerprint64(t) for t in batch[text_col].to_pylist()], pa.int64())
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1,0 +1,174 @@
+"""Dedup / text-analysis / ANN operators over the documents & embeddings
+testdata tables, with local NumPy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from projcl_ray import ann, dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_matches_pandas(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.exact_dedup(ds).to_pandas()
+    pdf = ds.to_pandas()
+    exp = pdf.sort_values("doc_id").drop_duplicates("text", keep="first")
+    assert len(out) == len(exp)
+    assert set(out["doc_id"]) == set(exp["doc_id"])
+
+
+def test_minhash_similar_docs_collide():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")  # near-duplicate
+    c = "completely different content about map projections and geodesy " * 5
+    sa = dedup.minhash_signature(a)
+    sb = dedup.minhash_signature(b)
+    sc = dedup.minhash_signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.6
+    assert sim_ac < 0.2
+    # MinHash agreement estimates true Jaccard
+    true_j = dedup.jaccard_ngrams(a, b)
+    assert abs(sim_ab - true_j) < 0.25
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session):
+    import ray.data as rd
+
+    base = "spark and ray process large tables of image caption pairs quickly "
+    rows = [{"doc_id": i, "text": base * 4 + f"unique tail {i}"} for i in range(2)]
+    rows += [{"doc_id": i, "text": f"document {i} " + "totally different words here " * (3 + i % 3)} for i in range(10, 30)]
+    ds = rd.from_items(rows)
+    pairs = dedup.minhash_lsh_candidates(ds, bands=16, num_perm=64, concurrency=1).to_pandas()
+    assert (0, 1) in {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # and the planted pair passes Jaccard verification
+    j = dedup.jaccard_ngrams(rows[0]["text"], rows[1]["text"])
+    assert j > 0.5
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a + "extra token"
+    h1, h2 = dedup.simhash64(a), dedup.simhash64(b)
+    assert dedup.hamming64(h1, h2) <= 8
+    h3 = dedup.simhash64("unrelated totally different content with other words entirely " * 10)
+    assert dedup.hamming64(h1, h3) > 10
+    assert dedup.simhash64(a) == dedup.simhash64(a)  # deterministic
+
+
+def test_langid_heuristic_on_real_samples():
+    actor = text.LangIdActor()
+    cases = {
+        "en": "the cat sat on the mat and it was a good day for all of us in the park",
+        "es": "el perro corre por la calle y los niños juegan en el parque con una pelota",
+        "de": "der Hund läuft auf der Straße und die Kinder spielen mit einem Ball im Park",
+        "fr": "le chien court dans la rue et les enfants jouent au parc avec une balle",
+        "zh": "今天天气很好我们一起去公园散步然后吃晚饭",
+    }
+    for lang, sample in cases.items():
+        assert actor.classify(sample) == lang, (lang, actor.classify(sample))
+    assert actor.classify("") == "und"
+    assert actor.classify("12345 67890 !!!") == "und"
+
+
+def test_langid_stage_runs_on_documents(ray_session, sf_dir):
+    """The testdata corpus is English word-salad under every `lang` label
+    (the labels are synthetic); the stage must still run and classify the
+    texts as English."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = ds.map_batches(text.LangIdActor, batch_format="pandas", concurrency=1).to_pandas()
+    assert (out["lang_pred"] == "en").mean() > 0.9
+
+
+def test_token_count_matches_split(ray_session, sf_dir, docs):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = text.add_token_count(ds).to_pandas()
+    exp = [len(t.split()) for t in out["text"]]
+    np.testing.assert_array_equal(out["n_tokens"], exp)
+
+
+def test_quality_scores(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = ds.map_batches(text.QualityScoreActor, batch_format="pandas", concurrency=1).to_pandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert (out["n_chars_q"] == out["text"].str.len()).all()
+    assert (out["stop_ratio"] >= 0).all() and (out["stop_ratio"] <= 1).all()
+
+
+def test_fingerprint_stability_and_sensitivity():
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert text.fingerprint64(t) == text.fingerprint64(t)
+    assert text.fingerprint64(t) != text.fingerprint64(t + " extra")
+    assert text.fingerprint64("") == 0
+
+
+def test_ann_brute_topk_matches_numpy(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    q_ids = pdf["vec_id"].to_numpy()[:5]
+    q = mat[:5]
+    out = ann.ann_brute_topk(ds, q_ids, q, k=10, concurrency=1).to_pandas()
+    # oracle
+    nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    nq = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    sims = nq @ nm.T
+    for qi, qid in enumerate(q_ids):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        exp_scores = np.sort(sims[qi])[::-1][:10]
+        np.testing.assert_allclose(got["score"].to_numpy(), exp_scores, atol=1e-5)
+        assert got.iloc[0]["vec_id"] == qid  # self is nearest
+        assert got.iloc[0]["score"] > 0.9999
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    q_ids = pdf["vec_id"].to_numpy()[:5]
+    q = mat[:5]
+    cents = ann.train_centroids(ds, 8, seed=0)
+    assert cents.shape[1] == mat.shape[1]
+    approx = ann.ivf_topk(ds, q_ids, q, k=5, centroids=cents, nprobe=4).to_pandas()
+    exact = ann.ann_brute_topk(ds, q_ids, q, k=5, concurrency=1).to_pandas()
+    # recall@5 ≥ 0.6 with half the buckets probed
+    recall = 0.0
+    for qid in q_ids:
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        recall += len(a & e) / len(e)
+    assert recall / len(q_ids) >= 0.6
+
+
+def test_cosine_dup_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.normal(scale=0.01, size=64).astype(np.float32)).tolist()},
+        {"vec_id": 2, "embedding": rng.normal(size=64).astype(np.float32).tolist()},
+    ]
+    out = ann.cosine_dup_pairs(rd.from_items(rows), threshold=0.95).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])} == {(0, 1)}
