@@ -1,0 +1,197 @@
+"""Headline benchmark: images warped+tiled/sec and PIP-join rows/sec (the
+BASELINE.json metric) plus the other hot pipelines, over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...throughputs}
+
+`--scaling` runs the same suite in fresh processes at num_cpus=8 and 32 on the
+same input and reports both throughputs + scaling efficiency (the sandbox
+evidence for the N→4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2048"))
+IMG_SIZE = int(os.environ.get("GRAFT_BENCH_IMG_SIZE", "0"))  # 0 = mixed 64/96/128
+FILTER = os.environ.get("GRAFT_BENCH_FILTER", "bilinear")
+
+
+def run_suite() -> dict:
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from projcl_ray import ann, dedup, ops
+    from projcl_ray.images import synth_images_table
+    from projcl_ray.pipelines import derive_points, synth_polygons
+    from projcl_ray.proj import ProjParams
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    # --- headline: warp + tile + cell groupby (images warped+tiled/sec) ---
+    # Stage the deterministic image corpus as partitioned parquet ONCE
+    # (untimed): real pipelines read pre-partitioned storage, so the timed
+    # region is read → warp → tile → cell groupby, which parallelizes; feeding
+    # a single driver-serialized Arrow table would bottleneck on the driver.
+    sizes = (IMG_SIZE,) if IMG_SIZE else (64, 96, 128)
+    img_dir = f"/tmp/graft_bench_images_{IMG_SIZE or 'mixed'}_{N_IMAGES}"
+    if not os.path.isdir(img_dir):
+        images = synth_images_table(N_IMAGES, seed=42, sizes=sizes)
+        rd.from_arrow(images).repartition(64).write_parquet(img_dir + ".tmp")
+        os.replace(img_dir + ".tmp", img_dir)
+    pool = max(2, NUM_CPUS - 4)
+    # warm the shared worker pool (imports + state cache) so the timed run
+    # measures steady-state throughput, not one-time process spin-up
+    ops.warp_and_tile(rd.read_parquet(img_dir).limit(64), "transverse_mercator",
+                      ProjParams(spheroid="WGS_84"),
+                      tile_size=64, filter=FILTER, batch_size=4).count()
+    t0 = time.time()
+    ds = rd.read_parquet(img_dir)
+    tiles = ops.warp_and_tile(
+        ds, "transverse_mercator", ProjParams(spheroid="WGS_84"),
+        tile_size=64, filter=FILTER, batch_size=8,
+    )
+    slim = tiles.drop_columns(["bytes"])
+    n_tiles = slim.groupby("cell_id").count().to_pandas()["count()"].sum()
+    timings["warp_tile"] = time.time() - t0
+    extra["images_per_sec"] = round(N_IMAGES / timings["warp_tile"], 2)
+    extra["tiles_per_sec"] = round(float(n_tiles) / timings["warp_tile"], 2)
+
+    # --- PIP join rows/sec over derived lineitem points ---
+    polys = synth_polygons(64)
+    t0 = time.time()
+    pts = derive_points(SF_DIR)
+    joined = ops.pip_join(pts, polys, concurrency=(2, pool))
+    n_joined = joined.count()
+    timings["pip_join"] = time.time() - t0
+    n_pts = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    extra["pip_rows_per_sec"] = round(n_pts / timings["pip_join"], 2)
+    extra["pip_matches"] = int(n_joined)
+
+    # --- projection round-trip throughput (pts/sec, fwd+inv TM ellipsoidal) ---
+    t0 = time.time()
+    proj = ops.project_points(derive_points(SF_DIR), "transverse_mercator", spheroid="WGS_84")
+    back = ops.project_points(proj, "transverse_mercator", spheroid="WGS_84",
+                              inverse=True, lon_col="lon2", lat_col="lat2")
+    back.map_batches(
+        lambda b: {"n": np.array([len(b["lon2"])])}, batch_format="numpy"
+    ).sum("n")
+    timings["project_roundtrip"] = time.time() - t0
+    extra["project_pts_per_sec"] = round(2 * n_pts / timings["project_roundtrip"], 2)
+
+    # --- datum shift ---
+    t0 = time.time()
+    ops.shift_datum(derive_points(SF_DIR), "WGS_84", "NAD_27").map_batches(
+        lambda b: {"n": np.array([len(b["lon"])])}, batch_format="numpy"
+    ).sum("n")
+    timings["datum_shift"] = time.time() - t0
+
+    # --- geodesic kNN (customer → supplier) ---
+    t0 = time.time()
+    from projcl_ray.queries import q_knn
+
+    q_knn(SF_DIR)
+    timings["knn"] = time.time() - t0
+
+    # --- dedup: exact + minhash LSH over documents ---
+    t0 = time.time()
+    dedup.exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"])).count()
+    timings["dedup_exact"] = time.time() - t0
+    t0 = time.time()
+    dedup.minhash_lsh_candidates(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        concurrency=(2, pool),
+    ).count()
+    timings["dedup_minhash"] = time.time() - t0
+
+    # --- ANN cosine top-k ---
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas().head(16)
+    q_ids = head["vec_id"].to_numpy()
+    q_mat = np.stack(head["embedding"].to_numpy())
+    t0 = time.time()
+    ann.ann_brute_topk(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        q_ids, q_mat, k=10, concurrency=(2, pool),
+    ).count()
+    timings["ann_topk"] = time.time() - t0
+
+    ray.shutdown()
+
+    out = {
+        "metric": "images warped+tiled/sec (and PIP-join rows/sec) on the image+caption corpus",
+        "value": round(timings["warp_tile"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_images": N_IMAGES,
+        **extra,
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        # heavier per-image work for the scaling criterion so compute dominates
+        # Ray's fixed per-stage latencies at both parallelism levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_IMG_SIZE", "256")
+        env.setdefault("GRAFT_BENCH_FILTER", "bicubic")
+        env.setdefault("GRAFT_BENCH_IMAGES", "3072")
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (headline warp+tile), num_cpus 8 -> 32",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "pip_rows_per_sec_8": r_lo["pip_rows_per_sec"],
+        "pip_rows_per_sec_32": r_hi["pip_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -79,13 +79,14 @@ def ann_brute_topk(
     single small groupby over (nq × k × num_batches) partial rows — the
     pre-aggregate-before-shuffle pattern."""
     ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix, np.float32)))
-    partials = ds.map_batches(
-        _BruteTopKActor,
-        fn_constructor_args=(ref, k, id_col, emb_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    from .ops import _cached
+
+    def _score(batch: pa.Table) -> pa.Table:
+        worker = _cached(("ann_topk", ref.hex(), k, id_col, emb_col),
+                         lambda: _BruteTopKActor(ref, k, id_col, emb_col))
+        return worker(batch)
+
+    partials = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
 
     def merge_topk(group):
         return group.nlargest(k, "score").sort_values(

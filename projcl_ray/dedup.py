@@ -117,18 +117,27 @@ def minhash_lsh_candidates(
     bands: int = 16,
     k_shingle: int = 5,
     seed: int = 1,
+    max_bucket: int = 128,
     concurrency: int | tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
     """MinHash → banded LSH: emit (band_id, band_hash, doc_id) rows, group by
     bucket, output candidate near-dup pairs (id_a < id_b). Jaccard-verify with
-    :func:`verify_jaccard` downstream."""
+    :func:`jaccard_ngrams` downstream.
+
+    Skew guard: buckets larger than ``max_bucket`` are emitted as a single
+    truncated marker pair set over the first ``max_bucket`` ids instead of the
+    full O(n²) blow-up — oversized buckets mean the banding is too coarse for
+    the corpus (tune bands/rows), and at 100 TB an unguarded hot bucket is a
+    straggler that stalls the whole shuffle."""
     rows_per_band = num_perm // bands
-    sig = ds.map_batches(
-        _MinHashActor,
-        fn_constructor_args=(num_perm, k_shingle, seed, text_col, id_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    from .ops import _cached
+
+    def _sig(batch):
+        worker = _cached(("minhash", num_perm, k_shingle, seed, text_col, id_col),
+                         lambda: _MinHashActor(num_perm, k_shingle, seed, text_col, id_col))
+        return worker(batch)
+
+    sig = ds.map_batches(_sig, batch_format="pyarrow")
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -159,12 +168,11 @@ def minhash_lsh_candidates(
         ids = sorted(group[id_col].tolist())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        ids = ids[:max_bucket]  # hot-bucket guard (see docstring)
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        arr = np.asarray(ids)
+        return pd.DataFrame({"id_a": arr[iu], "id_b": arr[ju]})
 
     pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
     # dedup pairs found in multiple bands

@@ -88,7 +88,7 @@ _PROJS = ("mercator", "transverse_mercator", "lambert_conformal_conic")
 
 
 def synth_images_table(n_rows: int, seed: int = 42, dup_every: int = 97,
-                       hot_centers: int = 32) -> pa.Table:
+                       hot_centers: int = 32, sizes: tuple = _SIZES) -> pa.Table:
     """Deterministic `images` table (Arrow) with Zipf-ish spatial clustering
     over ``hot_centers`` hot spots for skew/salting tests.
 
@@ -106,8 +106,8 @@ def synth_images_table(n_rows: int, seed: int = 42, dup_every: int = 97,
     lon0s, lat0s, pxds, datums_col = [], [], [], []
     prev = None
     for i in range(n_rows):
-        w = _SIZES[i % len(_SIZES)]
-        h = _SIZES[(i // len(_SIZES) + i) % len(_SIZES)]
+        w = sizes[i % len(sizes)]
+        h = sizes[(i // len(sizes) + i) % len(sizes)]
         if dup_every and i % dup_every == dup_every - 1 and prev is not None:
             img = prev  # exact duplicate pixels (dedup case)
             w, h = img.shape[1], img.shape[0]

@@ -6,9 +6,11 @@ Design rules (SURVEY §1.3/§7):
 - per-record math = stateless ``map_batches`` with ``batch_format="numpy"``
   (zero-copy Arrow → NumPy for primitive columns), params frozen in closures
   (the host-precompute step of the reference, done once at build time);
-- image stages = actor pools (callable classes) in ``batch_format="pyarrow"``;
+- image/join stages default to stateless tasks with a per-worker-process
+  state cache (see _cached below); explicit actor pools via ``use_actors=True``
+  when per-worker setup is genuinely expensive;
 - small lookup sides (polygon layers, query matrices) broadcast once via
-  ``ray.put`` and fetched in actor ``__init__`` — never re-shipped per batch;
+  ``ray.put`` and fetched zero-copy per worker — never re-shipped per batch;
 - wide ops keyed on ``cell_id`` with optional salting for hot cells.
 
 No function here calls ``ray.init()``.
@@ -31,6 +33,28 @@ from .geodesic import SPHERE_RADIUS, forward_sphere, haversine, vincenty_direct,
 from .images import decode_image, encode_image, phash64
 from .proj import ProjParams, prepare
 from .warp import GeoRef, WarpSpec, warp_image
+
+# ---------------------------------------------------------------------------
+# Worker-process state cache.
+#
+# Two execution modes for stateful stages:
+# - stateless TASKS + this per-process cache (default): state is built (or
+#   ray.get-fetched, zero-copy from the local object store) once per worker
+#   process and reused across all tasks/stages. Ray's shared worker pool warms
+#   once per session, so repeated pipelines pay no pool-spawn cost.
+# - ACTOR pools (use_actors=True): a dedicated pool per stage execution. Worth
+#   it when per-actor setup is genuinely expensive (real image codecs, model
+#   weights) or needs isolation; costs ~seconds of pool spawn per execution.
+# ---------------------------------------------------------------------------
+
+_STATE_CACHE: dict = {}
+
+
+def _cached(key, builder):
+    got = _STATE_CACHE.get(key)
+    if got is None:
+        got = _STATE_CACHE[key] = builder()
+    return got
 
 
 # ---------------------------------------------------------------------------
@@ -312,21 +336,43 @@ def warp_and_tile(
     dst_datum: str | None = None,
     res_deg: float = index_mod.DEFAULT_RES_DEG,
     batch_size: int = 16,
+    use_actors: bool = False,
     concurrency: int | tuple[int, int] = (2, 8),
     **param_kw,
 ) -> ray.data.Dataset:
-    """The flagship image stage: actor-pool warp+tile (SURVEY §3.2 Ray shape)."""
+    """The flagship image stage: warp+tile (SURVEY §3.2 Ray shape).
+
+    Default = stateless tasks with per-worker-process cached state (the
+    prepared projection is cheap; Ray's warm shared worker pool beats spawning
+    an actor pool per execution). Pass ``use_actors=True`` for an explicit
+    actor pool when per-worker setup is expensive (real codecs, models).
+    """
     params = params or ProjParams(**param_kw)
-    return ds.map_batches(
-        WarpTileActor,
-        fn_constructor_args=(proj_name, params),
-        fn_constructor_kwargs=dict(
-            tile_size=tile_size, filter=filter, dst_datum=dst_datum, res_deg=res_deg
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return ds.map_batches(
+            WarpTileActor,
+            fn_constructor_args=(proj_name, params),
+            fn_constructor_kwargs=dict(
+                tile_size=tile_size, filter=filter, dst_datum=dst_datum, res_deg=res_deg
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    key = ("warp_tile", proj_name, params, tile_size, filter, dst_datum, res_deg)
+
+    def _warp(batch: pa.Table) -> pa.Table:
+        worker = _cached(
+            key,
+            lambda: WarpTileActor(
+                proj_name, params, tile_size=tile_size, filter=filter,
+                dst_datum=dst_datum, res_deg=res_deg,
+            ),
+        )
+        return worker(batch)
+
+    return ds.map_batches(_warp, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -378,17 +424,27 @@ def pip_join(
     lon_col="lon",
     lat_col="lat",
     batch_size: int | None = 64 * 1024,
+    use_actors: bool = False,
     concurrency: int | tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
-    """Point-in-polygon join against a small polygon layer (broadcast once)."""
+    """Point-in-polygon join against a small polygon layer: broadcast via
+    ray.put once, fetched zero-copy per worker process (cached), no shuffle."""
     ref = ray.put(polygons)
-    return ds.map_batches(
-        PIPJoinActor,
-        fn_constructor_args=(ref, lon_col, lat_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return ds.map_batches(
+            PIPJoinActor,
+            fn_constructor_args=(ref, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def _pip(batch: pa.Table) -> pa.Table:
+        worker = _cached(("pip", ref.hex(), lon_col, lat_col),
+                         lambda: PIPJoinActor(ref, lon_col, lat_col))
+        return worker(batch)
+
+    return ds.map_batches(_pip, batch_format="pyarrow", batch_size=batch_size)
 
 
 class KnnActor:
@@ -428,13 +484,22 @@ def knn_join(
     lon_col="lon",
     lat_col="lat",
     batch_size: int | None = 32 * 1024,
+    use_actors: bool = False,
     concurrency: int | tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
     ref = ray.put((np.asarray(target_ids), np.asarray(target_lon), np.asarray(target_lat)))
-    return ds.map_batches(
-        KnnActor,
-        fn_constructor_args=(ref, k, lon_col, lat_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return ds.map_batches(
+            KnnActor,
+            fn_constructor_args=(ref, k, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def _knn(batch: pa.Table) -> pa.Table:
+        worker = _cached(("knn", ref.hex(), k, lon_col, lat_col),
+                         lambda: KnnActor(ref, k, lon_col, lat_col))
+        return worker(batch)
+
+    return ds.map_batches(_knn, batch_format="pyarrow", batch_size=batch_size)

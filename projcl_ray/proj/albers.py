@@ -14,6 +14,7 @@ import math
 import numpy as np
 
 from .base import (
+    as_float,
     DEG_TO_RAD,
     RAD_TO_DEG,
     PreparedProjection,
@@ -25,11 +26,15 @@ from .base import (
 )
 
 
-def _phi1(qs, e, one_es, tol=1e-15, max_iter=30):
+def _phi1(qs, e, one_es, tol=None, max_iter=30):
     """Invert the authalic latitude: solve φ with qsfn(sinφ)=qs.
 
     Reference: phi1_ Newton loop (pl_project_albers_equal_area.opencl:4-21).
     """
+    from .base import dtype_tol
+
+    if tol is None:
+        tol = dtype_tol(np.asarray(qs))
     phi = np.arcsin(np.clip(0.5 * qs, -1.0, 1.0))
     for _ in range(max_iter):
         sinphi, cosphi = np.sin(phi), np.cos(phi)
@@ -83,8 +88,8 @@ def prepare_albers(params: ProjParams) -> PreparedProjection:
     spherical = params.spherical
 
     def forward(lon, lat):
-        lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-        phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+        lam = as_float(lon) * DEG_TO_RAD - lam0
+        phi = as_float(lat) * DEG_TO_RAD
         if spherical:
             rho = np.sqrt(c - 2.0 * n * np.sin(phi))
         else:
@@ -93,8 +98,8 @@ def prepare_albers(params: ProjParams) -> PreparedProjection:
         return x0 + k * rho * sinl, y0 + k * (rho0 - rho * cosl)
 
     def inverse(x, y):
-        xx = (np.asarray(x, np.float64) - x0) / k
-        yy = rho0 - (np.asarray(y, np.float64) - y0) / k
+        xx = (as_float(x) - x0) / k
+        yy = rho0 - (as_float(y) - y0) / k
         if spherical:
             phi = np.arcsin(np.clip(0.5 * (c - (xx * xx + yy * yy)) / n, -1.0, 1.0))
         else:

@@ -173,12 +173,30 @@ def tsfn(phi, sinphi, e):
     return np.tan(0.5 * (0.5 * math.pi - phi)) / np.power((1.0 - con) / (1.0 + con), 0.5 * e)
 
 
-def phi2(log_ts, e, tol=1e-15, max_iter=20):
+def as_float(arr):
+    """float64 by default, but PRESERVE float32 inputs — the warp pixel path
+    feeds float32 grids to halve memory traffic; exact-point APIs pass float64."""
+    a = np.asarray(arr)
+    if a.dtype == np.dtype(np.float32):
+        return a
+    return np.asarray(a, np.float64)
+
+
+def dtype_tol(arr, f64=1e-15, f32=2e-7):
+    """Convergence tolerance matched to the working dtype — float32 pipelines
+    (the warp pixel path) exit iterative inverses as soon as they hit float32
+    resolution instead of running to the iteration cap."""
+    return f32 if getattr(arr, "dtype", None) == np.dtype(np.float32) else f64
+
+
+def phi2(log_ts, e, tol=None, max_iter=20):
     """Inverse of the conformal latitude: solve φ from log(ts).
 
     Reference: pl_phi2 fixed-point loop (peel.opencl:39-53), run to float64
     tolerance here.
     """
+    if tol is None:
+        tol = dtype_tol(np.asarray(log_ts))
     phi = -np.arctan(np.sinh(log_ts))
     for _ in range(max_iter):
         con = e * np.sin(phi)

@@ -12,7 +12,7 @@ import math
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, mod_pi, qsfn, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, mod_pi, qsfn, register
 
 
 @register("lambert_azimuthal_equal_area")
@@ -27,8 +27,8 @@ def prepare_laea(params: ProjParams) -> PreparedProjection:
         sin_phi0, cos_phi0 = math.sin(phi0), math.cos(phi0)
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             sinl, cosl = np.sin(lam), np.cos(lam)
             sinp, cosp = np.sin(phi), np.cos(phi)
             b = np.sqrt(2.0 / (1.0 + sin_phi0 * sinp + cos_phi0 * cosp * cosl))
@@ -37,8 +37,8 @@ def prepare_laea(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            xx = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             rho2 = xx * xx + yy * yy
             cos_c = 1.0 - 0.5 * rho2
             sin_c = np.sqrt(np.maximum(1.0 - 0.25 * rho2, 0.0))  # sin(c)/rho
@@ -60,8 +60,8 @@ def prepare_laea(params: ProjParams) -> PreparedProjection:
         xmf = rq * dd
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             sinl, cosl = np.sin(lam), np.cos(lam)
             sinB = qsfn(np.sin(phi), e, one_es) / qp
             cosB = np.sqrt(np.maximum(1.0 - sinB * sinB, 0.0))
@@ -71,8 +71,8 @@ def prepare_laea(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k / dd
-            yy = (np.asarray(y, np.float64) - y0) / k * dd
+            xx = (as_float(x) - x0) / k / dd
+            yy = (as_float(y) - y0) / k * dd
             rho2 = (xx * xx + yy * yy) / (rq * rq)
             cos_ce = 1.0 - 0.5 * rho2
             sin_ce = np.sqrt(np.maximum(1.0 - 0.25 * rho2, 0.0)) / rq  # sin(Ce)/rho

@@ -13,6 +13,7 @@ import math
 import numpy as np
 
 from .base import (
+    as_float,
     DEG_TO_RAD,
     RAD_TO_DEG,
     PreparedProjection,
@@ -61,8 +62,8 @@ def prepare_lcc(params: ProjParams) -> PreparedProjection:
     spherical = params.spherical
 
     def forward(lon, lat):
-        lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-        phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+        lam = as_float(lon) * DEG_TO_RAD - lam0
+        phi = as_float(lat) * DEG_TO_RAD
         if spherical:
             rho = c * np.exp(-n * np.arcsinh(np.tan(phi)))
         else:
@@ -71,8 +72,8 @@ def prepare_lcc(params: ProjParams) -> PreparedProjection:
         return x0 + k * rho * sinl, y0 + k * (rho0 - rho * cosl)
 
     def inverse(x, y):
-        xx = (np.asarray(x, np.float64) - x0) / k
-        yy = rho0 - (np.asarray(y, np.float64) - y0) / k
+        xx = (as_float(x) - x0) / k
+        yy = rho0 - (as_float(y) - y0) / k
         rho = np.copysign(np.hypot(xx, yy), n)
         with np.errstate(divide="ignore", invalid="ignore"):
             log_rc = np.log(rho / c) / n

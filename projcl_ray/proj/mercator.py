@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, phi2, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, phi2, register
 
 
 @register("mercator")
@@ -21,27 +21,27 @@ def prepare_mercator(params: ProjParams) -> PreparedProjection:
     if params.spherical:
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD
+            phi = as_float(lat) * DEG_TO_RAD
             return x0 + k * lam, y0 + k * np.arcsinh(np.tan(phi))
 
         def inverse(x, y):
-            lam = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            lam = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             return lam * RAD_TO_DEG, np.arctan(np.sinh(yy)) * RAD_TO_DEG
 
     else:
         e = info.ecc
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD
+            phi = as_float(lat) * DEG_TO_RAD
             y = np.arcsinh(np.tan(phi)) - e * np.arctanh(e * np.sin(phi))
             return x0 + k * lam, y0 + k * y
 
         def inverse(x, y):
-            lam = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            lam = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             return lam * RAD_TO_DEG, phi2(-yy, e) * RAD_TO_DEG
 
     return PreparedProjection("mercator", params, forward, inverse)

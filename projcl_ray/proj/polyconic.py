@@ -17,10 +17,12 @@ import math
 import numpy as np
 
 from .base import (
+    as_float,
     DEG_TO_RAD,
     RAD_TO_DEG,
     PreparedProjection,
     ProjParams,
+    dtype_tol,
     mlfn,
     mlfn1,
     mod_pi,
@@ -40,8 +42,8 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
     if params.spherical:
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             sinp, cosp = np.sin(phi), np.cos(phi)
             eq = np.abs(sinp) < 1e-12
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -55,13 +57,14 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            xx = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             phi = yy + phi0
             # keep the Newton iteration off the φ=0 singularity (limit is exact)
             phi = np.where(np.abs(phi) < 1e-9, 1e-9, phi)
             sinp, cosp = np.sin(phi), np.cos(phi)
             lam = np.arcsin(np.clip(xx * sinp / cosp, -1.0, 1.0)) / sinp
+            _ctol = dtype_tol(xx, 1e-14, 1e-6)
             for _ in range(n_iter):
                 sinp = np.where(np.abs(sinp) < 1e-12, np.copysign(1e-12, sinp + 1e-300), sinp)
                 sinLS, cosLS = np.sin(lam * sinp), np.cos(lam * sinp)
@@ -79,7 +82,7 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
                 phi = phi - dphi
                 lam = lam - dlam
                 sinp, cosp = np.sin(phi), np.cos(phi)
-                if np.all(np.abs(dphi) < 1e-14) and np.all(np.abs(dlam) < 1e-14):
+                if np.all(np.abs(dphi) < _ctol) and np.all(np.abs(dlam) < _ctol):
                     break
             return mod_pi(lam + lam0) * RAD_TO_DEG, phi * RAD_TO_DEG
 
@@ -89,8 +92,8 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
         ml0 = mlfn(phi0, math.sin(phi0), math.cos(phi0), en)
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             sinp, cosp = np.sin(phi), np.cos(phi)
             eq = np.abs(sinp) < 1e-12
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -103,8 +106,8 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            xx = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             phi = yy + phi0
             # one Newton step on the meridional series to fix the initial guess
             phi = phi - (mlfn(phi, np.sin(phi), np.cos(phi), en) - (yy + ml0)) / mlfn1(
@@ -114,6 +117,7 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
             sinp, cosp = np.sin(phi), np.cos(phi)
             mlp = np.sqrt(1.0 - es * sinp * sinp)
             lam = np.arcsin(np.clip(xx * sinp / cosp * mlp, -1.0, 1.0)) / sinp
+            _ctol = dtype_tol(xx, 1e-14, 1e-6)
             for _ in range(n_iter):
                 sinp = np.where(np.abs(sinp) < 1e-12, np.copysign(1e-12, sinp + 1e-300), sinp)
                 tanp = sinp / cosp
@@ -134,7 +138,7 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
                 lam = lam - dlam
                 sinp, cosp = np.sin(phi), np.cos(phi)
                 mlp = np.sqrt(1.0 - es * sinp * sinp)
-                if np.all(np.abs(dphi) < 1e-14) and np.all(np.abs(dlam) < 1e-14):
+                if np.all(np.abs(dphi) < _ctol) and np.all(np.abs(dlam) < _ctol):
                     break
             return mod_pi(lam + lam0) * RAD_TO_DEG, phi * RAD_TO_DEG
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, register
 
 FXC = 0.8487
 FYC = 1.3523
@@ -89,8 +89,8 @@ def prepare_robinson(params: ProjParams) -> PreparedProjection:
     k = params.scale * info.major_axis
 
     def forward(lon, lat):
-        lam = np.asarray(lon, np.float64) * DEG_TO_RAD
-        phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+        lam = as_float(lon) * DEG_TO_RAD
+        phi = as_float(lat) * DEG_TO_RAD
         dphi = np.abs(phi)
         index = np.minimum(np.floor(dphi * C1).astype(np.int64), NODES - 1)
         z = (dphi - RC1 * index) * RAD_TO_DEG
@@ -99,8 +99,8 @@ def prepare_robinson(params: ProjParams) -> PreparedProjection:
         return x0 + k * x, y0 + k * y
 
     def inverse(x, y):
-        xx = (np.asarray(x, np.float64) - x0) / k
-        yy = (np.asarray(y, np.float64) - y0) / k
+        xx = (as_float(x) - x0) / k
+        yy = (as_float(y) - y0) / k
         lam = xx / FXC
         phi_abs = np.abs(yy / FYC)
         polar = phi_abs >= 1.0

@@ -13,11 +13,15 @@ import math
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, mod_pi, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, mod_pi, register
 
 
-def _phi_sph2ell(phi_sph, e, log_k0, c0, tol=1e-15, max_iter=30):
+def _phi_sph2ell(phi_sph, e, log_k0, c0, tol=None, max_iter=30):
     """Invert the conformal-sphere latitude (kernel phi_sph2ell, lines 4-19)."""
+    from .base import dtype_tol
+
+    if tol is None:
+        tol = dtype_tol(np.asarray(phi_sph))
     log_num = (np.arcsinh(np.tan(phi_sph)) - log_k0) / c0
     phi_ell = phi_sph
     for _ in range(max_iter):
@@ -56,8 +60,8 @@ def prepare_stereographic(params: ProjParams) -> PreparedProjection:
     log_k0 = math.log(k0)
 
     def forward(lon, lat):
-        lam_ell = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-        phi_ell = np.asarray(lat, np.float64) * DEG_TO_RAD
+        lam_ell = as_float(lon) * DEG_TO_RAD - lam0
+        phi_ell = as_float(lat) * DEG_TO_RAD
         # ellipsoid → conformal sphere
         lam = c0 * lam_ell
         phi = np.arctan(
@@ -71,8 +75,8 @@ def prepare_stereographic(params: ProjParams) -> PreparedProjection:
         return x0 + kf * x, y0 + kf * y
 
     def inverse(x, y):
-        xx = (np.asarray(x, np.float64) - x0) / scale_r2
-        yy = (np.asarray(y, np.float64) - y0) / scale_r2
+        xx = (as_float(x) - x0) / scale_r2
+        yy = (as_float(y) - y0) / scale_r2
         rho = np.hypot(xx, yy)
         ang = 2.0 * np.arctan(rho)
         sinC, cosC = np.sin(ang), np.cos(ang)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, mod_pi, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, dtype_tol, mod_pi, register
 
 
 @register("transverse_mercator")
@@ -24,8 +24,8 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
         k = params.scale * info.major_axis * info.krueger_A
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             tau = np.tan(phi)
             cosl, sinl = np.cos(lam), np.sin(lam)
             y = np.arctan2(tau, cosl)
@@ -33,8 +33,8 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            xx = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             sinh_x = np.sinh(xx)
             siny, cosy = np.sin(yy), np.cos(yy)
             lam = np.arctan2(sinh_x, cosy)
@@ -63,8 +63,8 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
             return (s2, s4, s6, s8), (c2, c4, c6, c8)
 
         def forward(lon, lat):
-            lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-            phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+            lam = as_float(lon) * DEG_TO_RAD - lam0
+            phi = as_float(lat) * DEG_TO_RAD
             sinl, cosl = np.sin(lam), np.cos(lam)
             tau = np.tan(phi)
             sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
@@ -78,8 +78,8 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
             return x0 + k * x, y0 + k * y
 
         def inverse(x, y):
-            xx = (np.asarray(x, np.float64) - x0) / k
-            yy = (np.asarray(y, np.float64) - y0) / k
+            xx = (as_float(x) - x0) / k
+            yy = (as_float(y) - y0) / k
             (s2, s4, s6, s8), (c2, c4, c6, c8) = _angle_multiples(yy)
             (sh2, sh4, sh6, sh8), (ch2, ch4, ch6, ch8) = _angle_multiples(xx, hyperbolic=True)
             xi = yy - (be[0] * s2 * ch2 + be[1] * s4 * ch4 + be[2] * s6 * ch6 + be[3] * s8 * ch8)
@@ -88,6 +88,7 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
             sin_xi, cos_xi = np.sin(xi), np.cos(xi)
             tau0 = sin_xi / np.hypot(sinh_eta, cos_xi)
             tau = tau0.copy()
+            tol = dtype_tol(tau0, 1e-14, 1e-6)
             for _ in range(5):  # Karney: converges quadratically; reference does 1 step
                 sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
                 tau_p = tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau)
@@ -98,7 +99,7 @@ def prepare_tmerc(params: ProjParams) -> PreparedProjection:
                     / (one_es * np.hypot(1.0, tau))
                 )
                 tau = tau + dtau
-                if np.all(np.abs(dtau) < 1e-14 * np.maximum(1.0, np.abs(tau))):
+                if np.all(np.abs(dtau) < tol * np.maximum(1.0, np.abs(tau))):
                     break
             lam = np.arctan2(sinh_eta, cos_xi)
             phi = np.arctan(tau)

@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 
-from .base import DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, register
+from .base import as_float, DEG_TO_RAD, RAD_TO_DEG, PreparedProjection, ProjParams, dtype_tol, register
 
 
 @register("winkel_tripel")
@@ -27,8 +27,8 @@ def prepare_winkel(params: ProjParams) -> PreparedProjection:
     cosphi1 = 2.0 / math.pi if math.isnan(params.rlat1) else math.cos(params.rlat1 * DEG_TO_RAD)
 
     def forward(lon, lat):
-        lam = np.asarray(lon, np.float64) * DEG_TO_RAD - lam0
-        phi = np.asarray(lat, np.float64) * DEG_TO_RAD
+        lam = as_float(lon) * DEG_TO_RAD - lam0
+        phi = as_float(lat) * DEG_TO_RAD
         lam2 = 0.5 * lam
         sinp, cosp = np.sin(phi), np.cos(phi)
         sinl2, cosl2 = np.sin(lam2), np.cos(lam2)
@@ -41,11 +41,12 @@ def prepare_winkel(params: ProjParams) -> PreparedProjection:
         return x0 + k * x, y0 + k * y
 
     def inverse(x, y):
-        xx = (np.asarray(x, np.float64) - x0) / k
-        yy = (np.asarray(y, np.float64) - y0) / k
+        xx = (as_float(x) - x0) / k
+        yy = (as_float(y) - y0) / k
         phi = yy.copy() if isinstance(yy, np.ndarray) else np.float64(yy)
         sinp, cosp = np.sin(phi), np.cos(phi)
         lam = 2.0 * xx / (cosp + cosphi1)
+        _ctol = dtype_tol(xx, 1e-14, 1e-6)
         for _ in range(24):
             sin2phi = 2.0 * sinp * cosp
             sinl2, cosl2 = np.sin(0.5 * lam), np.cos(0.5 * lam)
@@ -77,7 +78,7 @@ def prepare_winkel(params: ProjParams) -> PreparedProjection:
             phi = phi + dphi
             lam = lam + dlam
             sinp, cosp = np.sin(phi), np.cos(phi)
-            if np.all(np.abs(dphi) < 1e-14) and np.all(np.abs(dlam) < 1e-14):
+            if np.all(np.abs(dphi) < _ctol) and np.all(np.abs(dlam) < _ctol):
                 break
         return (lam + lam0) * RAD_TO_DEG, phi * RAD_TO_DEG
 

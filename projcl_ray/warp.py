@@ -66,8 +66,11 @@ def sample_nearest(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarra
 def sample_bilinear(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     x0 = np.floor(px).astype(np.int64)
     y0 = np.floor(py).astype(np.int64)
-    fx = (px - x0)[..., None]
-    fy = (py - y0)[..., None]
+    # fractional weights in the image dtype: float32 pixels must not be
+    # upcast to float64 by the weights (doubles memory traffic in the gathers)
+    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    fx = (px - x0)[..., None].astype(wdt)
+    fy = (py - y0)[..., None].astype(wdt)
     p00 = _gather(img, x0, y0, True)
     p01 = _gather(img, x0 + 1, y0, True)
     p10 = _gather(img, x0, y0 + 1, True)
@@ -85,8 +88,9 @@ def _cubic4(X, A, B, C, D):
 def sample_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     xB = np.floor(px).astype(np.int64)
     yB = np.floor(py).astype(np.int64)
-    fx = (px - xB)[..., None]
-    fy = (py - yB)[..., None]
+    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    fx = (px - xB)[..., None].astype(wdt)
+    fy = (py - yB)[..., None].astype(wdt)
     rows = []
     for dy in (-1, 0, 1, 2):
         taps = [_gather(img, xB + dx, yB + dy, False) for dx in (-1, 0, 1, 2)]
@@ -98,8 +102,9 @@ def sample_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarra
 def sample_quasi_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     xB = np.floor(px).astype(np.int64)
     yB = np.floor(py).astype(np.int64)
-    fx = (px - xB)[..., None]
-    fy = (py - yB)[..., None]
+    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    fx = (px - xB)[..., None].astype(wdt)
+    fy = (py - yB)[..., None].astype(wdt)
     # outer rows A/D: linear mix of the two center columns
     rowA = (1 - fx) * _gather(img, xB, yB - 1, False) + fx * _gather(img, xB + 1, yB - 1, False)
     rowD = (1 - fx) * _gather(img, xB, yB + 2, False) + fx * _gather(img, xB + 1, yB + 2, False)
@@ -175,12 +180,32 @@ def warp_image(img: np.ndarray, georef: GeoRef, spec: WarpSpec,
         prepped = spec.prepared()
     gx, gy = dest_grid(spec.origin_x, spec.origin_y, spec.size_x, spec.size_y,
                        spec.width, spec.height)
-    lon, lat = prepped.inverse(gx, gy)
-    if spec.dst_datum and spec.src_datum and spec.dst_datum != spec.src_datum:
-        # the dest grid lives in dst_datum; bring it to the source's datum
-        lon, lat = datums.shift_datum(lon, lat, spec.dst_datum, spec.src_datum)
-    px, py = georef.to_pixels(lon, lat)
-    return SAMPLERS[spec.filter](np.asarray(img, np.float64), px, py)
+    # pixel-path precision: float32 grids halve the projection-chain memory
+    # traffic (NumPy ufuncs stay in float32); coordinate error ~1e-3 px is far
+    # below the half-pixel sampling granularity. Exact float64 stays the rule
+    # for the point-projection API (ops.project_points).
+    gx = gx.astype(np.float32)
+    gy = gy.astype(np.float32)
+    # float32 pixel plane: half the memory traffic of float64 in the sampler
+    # gathers (uint8 sources are exact in float32; the reference is float32 too)
+    img32 = np.asarray(img, np.float32)
+    sampler = SAMPLERS[spec.filter]
+    shift = bool(spec.dst_datum and spec.src_datum and spec.dst_datum != spec.src_datum)
+
+    # process the dest grid in horizontal bands so the per-band temporaries
+    # (projection intermediates + 16 sampler gathers) stay cache-resident —
+    # under many concurrent workers the unbanded version is DRAM-bound
+    band_rows = max(1, 16384 // max(spec.width, 1))
+    out = np.empty((spec.height, spec.width, img32.shape[2]), dtype=img32.dtype)
+    for r0 in range(0, spec.height, band_rows):
+        r1 = min(r0 + band_rows, spec.height)
+        lon, lat = prepped.inverse(gx[r0:r1], gy[r0:r1])
+        if shift:
+            # the dest grid lives in dst_datum; bring it to the source's datum
+            lon, lat = datums.shift_datum(lon, lat, spec.dst_datum, spec.src_datum)
+        px, py = georef.to_pixels(lon, lat)
+        out[r0:r1] = sampler(img32, px, py)
+    return out
 
 
 def default_warp_window(prepped: PreparedProjection, georef: GeoRef, w: int, h: int,

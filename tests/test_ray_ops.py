@@ -29,7 +29,14 @@ def lineitem_points(ray_session, sf_dir, limit=None):
         }
 
     ds = ds.map_batches(derive, batch_format="numpy")
-    return ds.limit(limit) if limit else ds
+    if limit:
+        # deterministic subset: limit() picks whichever blocks finish first
+        # (preserve_order is off), so filter on the key instead
+        ds = ds.map_batches(
+            lambda b: {k: v[np.asarray(b["point_id"]) % 7919 < limit] for k, v in b.items()},
+            batch_format="numpy",
+        )
+    return ds
 
 
 def test_project_stage_matches_local(ray_session, sf_dir):
@@ -64,9 +71,10 @@ def test_datum_shift_stage(ray_session, sf_dir):
 
 def test_forward_geodesic_fanout(ray_session, sf_dir):
     ds = lineitem_points(ray_session, sf_dir, limit=100)
+    n_in = ds.count()
     az = [0.0, 90.0, 180.0, 270.0]
     out = ops.forward_geodesic(ds, az, 50_000.0).to_pandas()
-    assert len(out) == 100 * 4
+    assert len(out) == n_in * 4
     from projcl_ray.geodesic import haversine
 
     d = haversine(out["lon"], out["lat"], out["lon2"], out["lat2"])
@@ -124,17 +132,25 @@ def test_pip_join_matches_local_oracle(ray_session, sf_dir):
 
 def test_knn_join_matches_brute(ray_session, sf_dir):
     ds = lineitem_points(ray_session, sf_dir, limit=500)
+    n_in = ds.count()
     rng = np.random.default_rng(0)
     t_ids = np.array([f"t{i}" for i in range(40)])
     t_lon = rng.uniform(-60, 60, 40)
     t_lat = rng.uniform(-40, 80, 40)
     out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=3).to_pandas()
-    assert len(out) == 500 * 3
+    assert len(out) == n_in * 3
     from projcl_ray.spatial import knn_brute
 
-    pdf = ds.to_pandas().sort_values(["lon", "lat"]).reset_index(drop=True)
+    # duplicate (lon,lat) rows interleave under sort — compare unique points
+    pdf = (
+        ds.to_pandas()[["lon", "lat"]].drop_duplicates()
+        .sort_values(["lon", "lat"]).reset_index(drop=True)
+    )
     idx, dist = knn_brute(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), t_lon, t_lat, 3)
-    got = out.sort_values(["lon", "lat", "neighbor_rank"]).reset_index(drop=True)
+    got = (
+        out.drop_duplicates(["lon", "lat", "neighbor_rank"])
+        .sort_values(["lon", "lat", "neighbor_rank"]).reset_index(drop=True)
+    )
     np.testing.assert_allclose(got["distance_m"].to_numpy().reshape(-1, 3), dist, rtol=1e-12)
 
 
