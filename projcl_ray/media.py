@@ -1,0 +1,148 @@
+"""Multimodal (audio/video) column plumbing — Ray-side schema, batch sizing and
+actor signatures are REAL; the codec step is an explicit stub because this
+container ships no media libraries (same policy as png/jpeg in images.py).
+
+Layout conventions:
+- audio rows:  (clip_id: string, bytes: binary, sample_rate: int32,
+  n_samples: int64, fmt: string)  — fmt="pcm16" is first-class (raw int16 LE);
+  "mp3"/"flac" raise NotImplementedError at decode.
+- video rows:  (video_id: string, bytes: binary, w: int32, h: int32,
+  n_frames: int32, fmt: string) — fmt="rawv" = n_frames raw RGBA frames
+  concatenated; "mp4" stub.
+
+Feature extraction runs as small-batch ``map_batches`` stages (media rows are
+wide, so batch_size stays small and blocks narrow — same rule as images).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "pcm16":
+        return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
+    if fmt in ("mp3", "flac", "wav"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an audio codec library not present in this "
+            "environment; use fmt='pcm16' (raw int16 LE)."
+        )
+    raise ValueError(f"unknown audio format {fmt!r}")
+
+
+def decode_video_frames(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
+    if fmt == "rawv":
+        return np.frombuffer(buf, dtype=np.uint8).reshape(n_frames, h, w, 4)
+    if fmt in ("mp4", "webm"):
+        raise NotImplementedError(
+            f"{fmt} decode requires a video codec library not present in this "
+            "environment; use fmt='rawv' (concatenated raw RGBA frames)."
+        )
+    raise ValueError(f"unknown video format {fmt!r}")
+
+
+def audio_features(ds: ray.data.Dataset, *, batch_size: int = 64) -> ray.data.Dataset:
+    """Per-clip features: rms, peak, zero-crossing rate, duration_s."""
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        rms, peak, zcr, dur = [], [], [], []
+        for buf, fmt, sr, n in zip(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist(),
+            batch["sample_rate"].to_pylist(), batch["n_samples"].to_pylist(),
+        ):
+            x = decode_audio(buf, fmt)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0)
+            dur.append(n / sr if sr else 0.0)
+        out = batch.drop_columns(["bytes"])
+        for name, vals in (("rms", rms), ("peak", peak), ("zcr", zcr), ("duration_s", dur)):
+            out = out.append_column(name, pa.array(vals, pa.float64()))
+        return out
+
+    return ds.map_batches(_feat, batch_format="pyarrow", batch_size=batch_size)
+
+
+def sample_video_frames(ds: ray.data.Dataset, every_n: int = 10, *,
+                        batch_size: int = 8) -> ray.data.Dataset:
+    """Frame sampling: emit every Nth frame as an image row (image_id =
+    '<video_id>#<frame>'), ready for the warp/tile stages."""
+
+    def _frames(batch: pa.Table) -> pa.Table:
+        ids, bufs, ws, hs, fmts = [], [], [], [], []
+        for vid, buf, w, h, nf, fmt in zip(
+            batch["video_id"].to_pylist(), batch["bytes"].to_pylist(),
+            batch["w"].to_pylist(), batch["h"].to_pylist(),
+            batch["n_frames"].to_pylist(), batch["fmt"].to_pylist(),
+        ):
+            frames = decode_video_frames(buf, w, h, nf, fmt)
+            for fi in range(0, nf, every_n):
+                ids.append(f"{vid}#{fi:06d}")
+                bufs.append(np.ascontiguousarray(frames[fi]).tobytes())
+                ws.append(w)
+                hs.append(h)
+                fmts.append("raw")
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_frames, batch_format="pyarrow", batch_size=batch_size)
+
+
+def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic pcm16 clips (sine + seeded noise)."""
+    rows = {"clip_id": [], "bytes": [], "sample_rate": [], "n_samples": [], "fmt": []}
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        sr = 16000
+        t = np.arange(sr // 4) / sr  # 250 ms
+        x = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t) + 0.05 * rng.normal(size=len(t))
+        pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+        rows["clip_id"].append(f"clip{i:06d}")
+        rows["bytes"].append(pcm.tobytes())
+        rows["sample_rate"].append(sr)
+        rows["n_samples"].append(len(pcm))
+        rows["fmt"].append("pcm16")
+    return pa.table(
+        {
+            "clip_id": pa.array(rows["clip_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )
+
+
+def synth_video_table(n: int, seed: int = 42, w: int = 32, h: int = 24,
+                      n_frames: int = 20) -> pa.Table:
+    from .images import synth_pixels
+
+    rows = {"video_id": [], "bytes": [], "w": [], "h": [], "n_frames": [], "fmt": []}
+    for i in range(n):
+        frames = np.stack([synth_pixels(seed + i * 100 + f, w, h) for f in range(n_frames)])
+        rows["video_id"].append(f"vid{i:06d}")
+        rows["bytes"].append(frames.tobytes())
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["n_frames"].append(n_frames)
+        rows["fmt"].append("rawv")
+    return pa.table(
+        {
+            "video_id": pa.array(rows["video_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )

@@ -503,3 +503,89 @@ def knn_join(
         return worker(batch)
 
     return ds.map_batches(_knn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def forward_geodesic_fixed_angle(
+    ds: ray.data.Dataset,
+    origin_lon: float,
+    origin_lat: float,
+    azimuth_deg: float,
+    *,
+    dist_col: str = "distance_m",
+    method: str = "sphere",
+    spheroid: str = "WGS_84",
+    radius: float = SPHERE_RADIUS,
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    """Great-circle trace: ONE origin + fixed azimuth × a Dataset of distances
+    (pl_forward_geodesic_fixed_angle_s, src/projcl_run.c:747-787). The origin
+    is broadcast; each distance row gains (lon2, lat2)."""
+
+    def _trace(batch: dict) -> dict:
+        d = np.asarray(batch[dist_col], np.float64)
+        if method == "sphere":
+            lon2, lat2 = forward_sphere(origin_lon, origin_lat, azimuth_deg, d, radius)
+        else:
+            lon2, lat2, _ = vincenty_direct(origin_lon, origin_lat, azimuth_deg, d, spheroid)
+        batch["lon2"] = lon2
+        batch["lat2"] = lat2
+        return batch
+
+    return ds.map_batches(_trace, batch_format="numpy", batch_size=batch_size)
+
+
+def warp_tiled_mosaic(
+    tiles_ds: ray.data.Dataset,
+    proj_name: str,
+    params: ProjParams | None = None,
+    *,
+    filter: str = "bilinear",
+    **param_kw,
+) -> ray.data.Dataset:
+    """Warp images stored as TILE rows (the reference's PLImageArrayBuffer
+    path, pl_sample_image_array_*): group tiles by image, assemble the mosaic,
+    inverse-map with per-pixel tile-index arithmetic, emit one warped row per
+    image.
+
+    Expects columns: image_id, tile_col, tile_row, tile_size, bytes, w(full),
+    h(full), lon0, lat0, px_deg. Partitioning assumption: all of an image's
+    tiles co-locate via the groupby shuffle (tile payloads move once).
+    """
+    from .warp import GeoRef, MOSAIC_SAMPLERS, TiledMosaic, default_warp_window, dest_grid
+
+    params = params or ProjParams(**param_kw)
+    prepped_ref = (proj_name, params)
+
+    def assemble_and_warp(group):
+        import pandas as pd
+
+        prepped = _cached(("mosaic_proj",) + prepped_ref, lambda: prepare(proj_name, params))
+        r0 = group.iloc[0]
+        ts = int(r0["tile_size"])
+        tile_map = {
+            (int(r["tile_col"]), int(r["tile_row"])): decode_image(
+                r["bytes"], ts, ts, r0.get("fmt", "raw")
+            ).astype(np.float32)
+            for _, r in group.iterrows()
+        }
+        mosaic = TiledMosaic.from_tiles(tile_map, ts)
+        w, h = int(r0["w"]), int(r0["h"])
+        georef = GeoRef(float(r0["lon0"]), float(r0["lat0"]), float(r0["px_deg"]))
+        ox, oy, sx, sy = default_warp_window(prepped, georef, w, h)
+        gx, gy = dest_grid(ox, oy, sx, sy, w, h)
+        with np.errstate(all="ignore"):
+            lon, lat = prepped.inverse(gx.astype(np.float32), gy.astype(np.float32))
+        px, py = georef.to_pixels(lon, lat)
+        out = MOSAIC_SAMPLERS[filter](mosaic, px, py)
+        out8 = np.clip(out, 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "image_id": [r0["image_id"]],
+                "bytes": [encode_image(out8)],
+                "w": np.array([w], np.int32),
+                "h": np.array([h], np.int32),
+                "fmt": ["raw"],
+            }
+        )
+
+    return tiles_ds.groupby("image_id").map_groups(assemble_and_warp, batch_format="pandas")

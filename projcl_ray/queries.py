@@ -810,3 +810,94 @@ def q_warp_tiles(sf_dir: str):
 @q("flagship_cells")
 def q_flagship(sf_dir: str):
     return flagship(n_images=32, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-angle geodesic trace, mosaic warp, media, phash dedup
+# ---------------------------------------------------------------------------
+
+_TRACE_ORIGIN = (10.0, 20.0)
+_TRACE_AZ = 45.0
+
+ORACLES["forward_geodesic_fixed_angle"] = f"""
+WITH d AS (SELECT l_orderkey, l_partkey,
+  (1000.0 + fmod(l_orderkey*97.0 + l_partkey*13.0, 5000.0) * 1000.0) AS distance_m
+  FROM lineitem),
+x AS (SELECT *, distance_m / {R!r} AS dr,
+  sin(radians({_TRACE_ORIGIN[1]!r})) AS sp, cos(radians({_TRACE_ORIGIN[1]!r})) AS cp,
+  sin(radians({_TRACE_AZ!r})) AS sa, cos(radians({_TRACE_AZ!r})) AS ca FROM d),
+o AS (SELECT l_orderkey, l_partkey,
+  asin(least(greatest(sp*cos(dr) + cp*sin(dr)*ca, -1.0), 1.0)) AS phi2,
+  radians({_TRACE_ORIGIN[0]!r}) + atan2(sin(dr)*sa, cp*cos(dr) - sp*sin(dr)*ca) AS lam2 FROM x)
+SELECT l_orderkey, l_partkey,
+  CAST(floor(degrees(CASE WHEN abs(lam2) > pi() THEN lam2 - 2.0*pi()*sign(lam2) ELSE lam2 END) * 10000.0 + 0.5) AS BIGINT) AS lon2_q,
+  CAST(floor(degrees(phi2) * 10000.0 + 0.5) AS BIGINT) AS lat2_q
+FROM o
+"""
+
+
+@q("forward_geodesic_fixed_angle", ORACLES["forward_geodesic_fixed_angle"])
+def q_fixed_angle(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def derive_dist(batch: dict) -> dict:
+        ok = np.asarray(batch["l_orderkey"], np.float64)
+        pk = np.asarray(batch["l_partkey"], np.float64)
+        return {
+            "l_orderkey": np.asarray(batch["l_orderkey"]),
+            "l_partkey": np.asarray(batch["l_partkey"]),
+            "distance_m": 1000.0 + np.mod(ok * 97.0 + pk * 13.0, 5000.0) * 1000.0,
+        }
+
+    ds = ds.map_batches(derive_dist, batch_format="numpy")
+    out = ops.forward_geodesic_fixed_angle(ds, *_TRACE_ORIGIN, _TRACE_AZ)
+    df = out.select_columns(["l_orderkey", "l_partkey", "lon2", "lat2"]).to_pandas()
+    df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
+    return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
+
+
+@q("dedup_phash_images")  # phash computed by our codec — rows-only
+def q_phash_dedup(sf_dir: str):
+    from .images import synth_images_table
+
+    ds = rd.from_arrow(synth_images_table(256, seed=42).select(["image_id", "phash"]))
+
+    def keep_first(group):
+        return group.sort_values("image_id").head(1)
+
+    return ds.groupby("phash").map_groups(keep_first, batch_format="pandas")
+
+
+@q("warp_tiled_mosaic")  # pixel op — rows-only (PSNR gate lives in pytest)
+def q_mosaic(sf_dir: str):
+    from .images import synth_images_table, decode_image, encode_image
+    from .index import cut_tiles
+
+    tbl = synth_images_table(8, seed=42).to_pylist()
+    rows = []
+    for r in tbl:
+        img = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        for tx, ty, _, tile in cut_tiles(img, 32):
+            rows.append(
+                {
+                    "image_id": r["image_id"], "tile_col": tx, "tile_row": ty,
+                    "tile_size": 32, "bytes": encode_image(tile), "fmt": "raw",
+                    "w": r["w"], "h": r["h"], "lon0": r["lon0"], "lat0": r["lat0"],
+                    "px_deg": r["px_deg"],
+                }
+            )
+    return ops.warp_tiled_mosaic(rd.from_items(rows), "mercator", ProjParams(spheroid="WGS_84"))
+
+
+@q("media_audio_features")  # codec stub path — rows-only
+def q_audio(sf_dir: str):
+    from .media import audio_features, synth_audio_table
+
+    return audio_features(rd.from_arrow(synth_audio_table(32)))
+
+
+@q("media_video_frame_sample")  # rows-only
+def q_video(sf_dir: str):
+    from .media import sample_video_frames, synth_video_table
+
+    return sample_video_frames(rd.from_arrow(synth_video_table(4)), every_n=5)
