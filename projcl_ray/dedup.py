@@ -94,12 +94,17 @@ class _MinHashActor:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
         texts = batch[self.text_col].to_pylist()
-        for i, t in enumerate(texts):
-            h = _shingle_hashes(t, self.k)
-            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-            sigs[i] = vals.min(axis=0)
+        sigs = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
+        # vectorize across documents in sub-chunks: flatten all shingle hashes,
+        # apply every permutation at once, per-doc min via minimum.reduceat
+        chunk = max(1, (1 << 21) // self.num_perm)  # ~16 MB of uint64 temporaries
+        for c0 in range(0, len(texts), chunk):
+            hs = [_shingle_hashes(t, self.k) for t in texts[c0 : c0 + chunk]]
+            flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+            offsets = np.cumsum([0] + [len(h) for h in hs])[:-1]
+            vals = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            sigs[c0 : c0 + len(hs)] = np.minimum.reduceat(vals, offsets, axis=0)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -162,21 +167,50 @@ def minhash_lsh_candidates(
 
     buckets = sig.map_batches(explode_bands, batch_format="pyarrow")
 
+    # Partition buckets into a BOUNDED number of groups (coarse hash of the
+    # bucket key) so the shuffle has ~n_parts groups instead of one per bucket
+    # — per-group Python overhead over millions of tiny buckets dominates
+    # otherwise. Within each part, pair emission is one vectorized pandas
+    # self-merge on the exact bucket key.
+    n_parts = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = bh * np.uint64(31) + bi
+        return batch.append_column("part", pa.array((key % n_parts).astype(np.int64)))
+
+    parted = buckets.map_batches(add_part, batch_format="pyarrow")
+
     def emit_pairs(group):
         import pandas as pd
 
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = ids[:max_bucket]  # hot-bucket guard (see docstring)
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        arr = np.asarray(ids)
-        return pd.DataFrame({"id_a": arr[iu], "id_b": arr[ju]})
+        g = group[["band_id", "band_hash", id_col]].copy()
+        # hot-bucket guard: cap rows per exact bucket (see docstring)
+        g = g.groupby(["band_id", "band_hash"], sort=False).head(max_bucket)
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
 
-    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = parted.groupby("part").map_groups(emit_pairs, batch_format="pandas")
+
+    # global dedup of pairs found in multiple bands: again a bounded-group
+    # partition + vectorized drop_duplicates per group
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(64)).astype(np.int64))
+        )
+
+    return (
+        pairs.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]), batch_format="pandas")
+        .drop_columns(["pp"])
+    )
 
 
 def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:

@@ -589,3 +589,24 @@ def warp_tiled_mosaic(
         )
 
     return tiles_ds.groupby("image_id").map_groups(assemble_and_warp, batch_format="pandas")
+
+
+def cell_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "cell_id",
+    *,
+    batch_size: int | None = 128 * 1024,
+) -> ray.data.Dataset:
+    """Skew-proof distributed count per key: partial counts per batch inside
+    map_batches (the combiner), then a tiny groupby-sum over partials. A hot
+    key contributes ONE row per batch to the shuffle instead of all its rows —
+    pre-aggregation beats salting for algebraic aggregates (SURVEY §7)."""
+
+    def partial(batch: dict) -> dict:
+        keys, counts = np.unique(np.asarray(batch[key_col], np.int64), return_counts=True)
+        return {key_col: keys, "partial_n": counts.astype(np.int64)}
+
+    partials = ds.map_batches(partial, batch_format="numpy", batch_size=batch_size)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(key_col).aggregate(Sum("partial_n", alias_name="n"))

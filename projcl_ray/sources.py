@@ -1,0 +1,77 @@
+"""Sources & sinks (SURVEY §2.2): the reference has none (host-memory only);
+here the canonical storage is columnar files read/written by Ray Data.
+
+Lance is the north-rule's nominal table format; this container ships no lance
+bindings, so the readers try `ray.data.read_lance` first and fall back to
+Parquet transparently — the engine is format-agnostic (everything downstream
+is Arrow batches).
+
+The tile sink writes CELL-BUCKETED partitions so that (a) downstream cell
+joins read only matching buckets and (b) a failed run resumes per bucket
+(checkpoint.py manifests).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .index import DEFAULT_RES_DEG
+
+
+def read_table(path: str, *, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """Read a Lance dataset if available/applicable, else Parquet (file or dir).
+
+    Column pruning is always pushed down (`columns=`), per the prune-at-the-
+    read rule.
+    """
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        try:
+            return rd.read_lance(path, columns=columns, **kw)
+        except (AttributeError, ImportError) as exc:  # no lance bindings here
+            raise NotImplementedError(
+                "lance bindings are not available in this environment; "
+                "store the table as parquet"
+            ) from exc
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_images(path: str, *, with_georef: bool = True) -> rd.Dataset:
+    """The `images` table (input_hint schema) with optional georef sidecar."""
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    if with_georef:
+        cols += ["lon0", "lat0", "px_deg", "src_datum"]
+    return read_table(path, columns=cols)
+
+
+def write_tiles(
+    tiles: rd.Dataset,
+    out_dir: str,
+    *,
+    cell_col: str = "cell_id",
+    n_buckets: int = 64,
+    **kw,
+) -> None:
+    """Partitioned tile sink: hash-bucket the cell key into `n_buckets`
+    directories (`bucket=<k>/...parquet`). A rerun can skip finished buckets;
+    cell-keyed consumers read only the buckets covering their cells."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cells = batch[cell_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array((cells % n_buckets).astype(np.int64)))
+
+    tiles.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"], **kw
+    )
+
+
+def read_tile_buckets(out_dir: str, cells: np.ndarray, *, n_buckets: int = 64) -> rd.Dataset:
+    """Read only the buckets that can contain the given cells."""
+    wanted = sorted({int(c) % n_buckets for c in np.asarray(cells).ravel()})
+    paths = [os.path.join(out_dir, f"bucket={b}") for b in wanted]
+    paths = [p for p in paths if os.path.isdir(p)]
+    return rd.read_parquet(paths)

@@ -1,0 +1,70 @@
+"""Sources/sinks, pre-aggregated counts, datum shift on grids."""
+
+import numpy as np
+import pytest
+
+from projcl_ray import ops, sources
+from projcl_ray.datums import shift_datum
+from projcl_ray.images import synth_images_table
+from projcl_ray.index import cell_id
+from projcl_ray.proj import ProjParams
+
+
+def test_read_table_parquet_fallback(ray_session, sf_dir):
+    ds = sources.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    assert ds.count() == 25
+    assert [f.name for f in ds.schema().base_schema] == ["n_nationkey"]
+
+
+def test_read_images_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    tbl = synth_images_table(10, seed=42)
+    rd.from_arrow(tbl).write_parquet(str(tmp_path / "imgs"))
+    ds = sources.read_images(str(tmp_path / "imgs"))
+    assert ds.count() == 10
+    assert "lon0" in [f.name for f in ds.schema().base_schema]
+
+
+def test_write_and_read_tile_buckets(ray_session, tmp_path):
+    import ray.data as rd
+
+    tiles = ops.warp_and_tile(
+        rd.from_arrow(synth_images_table(12, seed=42)),
+        "mercator", ProjParams(spheroid="WGS_84"), tile_size=64, batch_size=4,
+    )
+    out = str(tmp_path / "tiles")
+    sources.write_tiles(tiles, out, n_buckets=8)
+    full = rd.read_parquet(out)
+    n_total = full.count()
+    assert n_total >= 12
+    # bucket pruning returns exactly the rows of the wanted cells' buckets
+    pdf = full.to_pandas()
+    some_cells = pdf["cell_id"].unique()[:2]
+    pruned = sources.read_tile_buckets(out, np.asarray(some_cells), n_buckets=8).to_pandas()
+    want_buckets = {int(c) % 8 for c in some_cells}
+    assert set(pruned["cell_id"] % 8) <= want_buckets
+    assert set(pdf[pdf["cell_id"].isin(some_cells)]["tile_idx"]) <= set(pruned["tile_idx"])
+
+
+def test_cell_counts_matches_groupby(ray_session, sf_dir):
+    import ray.data as rd
+
+    from projcl_ray.pipelines import derive_points
+
+    ds = ops.assign_cells(derive_points(sf_dir))
+    fast = ops.cell_counts(ds).to_pandas().set_index("cell_id")["n"]
+    slow = ds.groupby("cell_id").count().to_pandas().set_index("cell_id")["count()"]
+    assert fast.sort_index().equals(slow.sort_index().rename("n"))
+
+
+def test_datum_shift_on_grids():
+    """pl_shift_grid_datum parity: the fused shift applies to grid-shaped
+    arrays unchanged (same function, meshgrid input — SURVEY §2.4)."""
+    gx, gy = np.meshgrid(np.linspace(-10, 10, 21), np.linspace(40, 55, 16))
+    lon2, lat2 = shift_datum(gx, gy, "WGS_84", "NAD_27")
+    assert lon2.shape == gx.shape == lat2.shape
+    # equals the flat computation reshaped
+    lf, pf = shift_datum(gx.ravel(), gy.ravel(), "WGS_84", "NAD_27")
+    np.testing.assert_array_equal(lon2, lf.reshape(gx.shape))
+    np.testing.assert_array_equal(lat2, pf.reshape(gy.shape))
