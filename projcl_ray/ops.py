@@ -595,7 +595,7 @@ def cell_counts(
     ds: ray.data.Dataset,
     key_col: str = "cell_id",
     *,
-    batch_size: int | None = 128 * 1024,
+    batch_size: int | None = None,  # whole blocks: a coalescing batch_size would stall the stream
 ) -> ray.data.Dataset:
     """Skew-proof distributed count per key: partial counts per batch inside
     map_batches (the combiner), then a tiny groupby-sum over partials. A hot

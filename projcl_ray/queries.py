@@ -901,3 +901,126 @@ def q_video(sf_dir: str):
     from .media import sample_video_frames, synth_video_table
 
     return sample_video_frames(rd.from_arrow(synth_video_table(4)), every_n=5)
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal conic forwards (closed-form → SQL-expressible with inlined
+# host-precomputed constants, exercising the qsfn/tsfn ellipsoidal paths)
+# ---------------------------------------------------------------------------
+
+
+def _albers_ell_consts(rlat1=30.0, rlat2=60.0, lat0=0.0):
+    info = get_spheroid("WGS_84")
+    phi1, phi2_, phi0 = map(math.radians, (rlat1, rlat2, lat0))
+    m1 = msfn(math.sin(phi1), math.cos(phi1), info.ecc2)
+    ml1 = qsfn(math.sin(phi1), info.ecc, info.one_ecc2)
+    m2 = msfn(math.sin(phi2_), math.cos(phi2_), info.ecc2)
+    ml2 = qsfn(math.sin(phi2_), info.ecc, info.one_ecc2)
+    n = (m1 * m1 - m2 * m2) / (ml2 - ml1)
+    c = m1 * m1 + ml1 * n
+    rho0 = math.sqrt(c - n * qsfn(math.sin(phi0), info.ecc, info.one_ecc2))
+    return n, c, rho0
+
+
+_aen, _aec, _aerho0 = _albers_ell_consts()
+_QSFN_SQL = (
+    f"({get_spheroid('WGS_84').one_ecc2!r} * (sin(radians(lat))/(1.0 - {get_spheroid('WGS_84').ecc2!r}"
+    f"*sin(radians(lat))*sin(radians(lat))) + {_atanh(f'{E_WGS!r}*sin(radians(lat))')}/{E_WGS!r}))"
+)
+
+QUERIES["project_albers_ell_fwd"] = _proj_query(
+    "albers_equal_area", spheroid="WGS_84", rlat1=30, rlat2=60
+)
+ORACLES["project_albers_ell_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam,
+      sqrt({_aec!r} - {_aen!r} * {_QSFN_SQL}) AS rho FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({A_WGS / _aen!r} * rho * sin(lam * {_aen!r})) AS BIGINT) AS x_m,
+  CAST(floor({A_WGS / _aen!r} * ({_aerho0!r} - rho * cos(lam * {_aen!r}))) AS BIGINT) AS y_m
+FROM r
+"""
+
+
+def _lcc_ell_consts(rlat1=30.0, rlat2=60.0, lat0=0.0):
+    info = get_spheroid("WGS_84")
+    phi1, phi2_, phi0 = map(math.radians, (rlat1, rlat2, lat0))
+    m1 = msfn(math.sin(phi1), math.cos(phi1), info.ecc2)
+    ml1 = tsfn(phi1, math.sin(phi1), info.ecc)
+    n = math.log(m1 / msfn(math.sin(phi2_), math.cos(phi2_), info.ecc2))
+    n /= math.log(ml1 / tsfn(phi2_, math.sin(phi2_), info.ecc))
+    c = m1 * math.pow(ml1, -n) / n
+    rho0 = c * math.pow(tsfn(phi0, math.sin(phi0), info.ecc), n)
+    return n, c, rho0
+
+
+_len_, _lec, _lerho0 = _lcc_ell_consts()
+QUERIES["project_lcc_ell_fwd"] = _proj_query(
+    "lambert_conformal_conic", spheroid="WGS_84", rlat1=30, rlat2=60
+)
+ORACLES["project_lcc_ell_fwd"] = f"""
+WITH p AS ({PTS_SQL}),
+r AS (SELECT l_orderkey, l_partkey, radians(lon) AS lam,
+      {_lec!r} * exp(-{_len_!r} * ({_asinh('tan(radians(lat))')}
+        - {E_WGS!r}*{_atanh(f'{E_WGS!r}*sin(radians(lat))')})) AS rho FROM p)
+SELECT l_orderkey, l_partkey,
+  CAST(floor({A_WGS!r} * rho * sin(lam * {_len_!r})) AS BIGINT) AS x_m,
+  CAST(floor({A_WGS!r} * ({_lerho0!r} - rho * cos(lam * {_len_!r}))) AS BIGINT) AS y_m
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window family over the events log (window.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_tumbling_15m",
+    """
+SELECT event_type,
+  to_timestamp(floor(epoch(ts) / 900.0) * 900.0)::TIMESTAMP AS window_start,
+  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_q
+FROM events GROUP BY 1, 2
+""",
+)
+def q_window_tumbling(sf_dir: str):
+    from . import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = window.tumbling(ds, 900.0).to_pandas()
+    out["sum_q"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    return out[["event_type", "window_start", "n", "sum_q"]]
+
+
+@q(
+    "window_sliding_30m_hop15m",
+    """
+WITH e AS (SELECT event_type, value, epoch(ts) AS sec FROM events),
+w AS (SELECT *, floor(sec/900.0)*900.0 AS last_start FROM e),
+f AS (
+  SELECT event_type, value, last_start AS ws FROM w WHERE last_start <= sec AND sec < last_start + 1800.0
+  UNION ALL
+  SELECT event_type, value, last_start - 900.0 AS ws FROM w
+    WHERE last_start - 900.0 <= sec AND sec < last_start + 900.0
+)
+SELECT event_type, to_timestamp(ws)::TIMESTAMP AS window_start,
+  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_q
+FROM f GROUP BY 1, 2
+""",
+)
+def q_window_sliding(sf_dir: str):
+    from . import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = window.sliding(ds, 1800.0, 900.0).to_pandas()
+    out["sum_q"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    return out[["event_type", "window_start", "n", "sum_q"]]
+
+
+@q("window_sessions")  # per-group stateful logic — pytest holds the oracle
+def q_window_sessions(sf_dir: str):
+    from . import window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return window.sessionize(ds, 3600.0)

@@ -1,0 +1,127 @@
+"""Stream-shaped windowing over an ordered, partitioned log (the `events`
+table). Ray Data is a batch engine with no event-time watermarks; the
+reference is pure batch too (SURVEY §1.2 — no windows, no late data). These
+operators implement the standard window families deterministically over a
+bounded log, as `groupby(key).map_groups` over ts-sorted groups:
+
+- tumbling: floor(ts / size) — expressible as a plain groupby (vectorized, no
+  per-group sort needed);
+- sliding:  one output row per (window_start, key) for every window the event
+  falls in (hop ≤ size) — a controlled fan-out then groupby;
+- session:  gap-based sessionization inside each key's ts-sorted group.
+
+Ordering assumption: within a key, windowing happens AFTER an explicit sort of
+that key's group; no cross-key ordering is assumed (blocks are unordered).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _ts_us(ts_col) -> np.ndarray:
+    return np.asarray(ts_col, dtype="datetime64[us]").astype(np.int64)
+
+
+def tumbling(
+    ds: rd.Dataset,
+    size_s: float,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Tumbling windows: (key, window_start) → count + sum. Pure vectorized
+    assignment + one groupby; no per-group Python."""
+    size_us = int(size_s * 1_000_000)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(batch[ts_col])
+        batch = batch[[key_col, value_col]].copy()
+        batch["window_start"] = ((us // size_us) * size_us).astype("datetime64[us]")
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas").groupby(
+        [key_col, "window_start"]
+    ).aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+
+
+def sliding(
+    ds: rd.Dataset,
+    size_s: float,
+    hop_s: float,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Sliding windows (size, hop): each event fans out to the ⌈size/hop⌉
+    windows containing it (bounded fan-out inside map_batches), then one
+    groupby aggregates. Equivalent SQL: join against generated window starts."""
+    size_us = int(size_s * 1_000_000)
+    hop_us = int(hop_s * 1_000_000)
+    k = (size_us + hop_us - 1) // hop_us  # windows per event
+
+    def fan(batch: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(batch[ts_col])
+        # last window start containing the event, then step back by hop
+        last = (us // hop_us) * hop_us
+        starts = last[:, None] - np.arange(k)[None, :] * hop_us
+        valid = (starts <= us[:, None]) & (us[:, None] < starts + size_us)
+        rows, cols = np.nonzero(valid)
+        return pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy()[rows],
+                value_col: batch[value_col].to_numpy()[rows],
+                "window_start": starts[rows, cols].astype("datetime64[us]"),
+            }
+        )
+
+    return ds.map_batches(fan, batch_format="pandas").groupby(
+        [key_col, "window_start"]
+    ).aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+
+
+def sessionize(
+    ds: rd.Dataset,
+    gap_s: float,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Session windows: within each key's ts-sorted group, a new session starts
+    when the gap to the previous event exceeds ``gap_s``. Emits one row per
+    session: (key, session_start, session_end, n, sum_value).
+
+    The per-key group is the unit of state (SURVEY §2.7: incremental state
+    lives inside the keyed group); skewed keys are bounded by per-user volume.
+    """
+    gap_us = int(gap_s * 1_000_000)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        us = _ts_us(g[ts_col])
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = []
+        for s in np.unique(sid):
+            sel = sid == s
+            out.append(
+                {
+                    key_col: g[key_col].iloc[0],
+                    "session_start": us[sel].min().astype("datetime64[us]"),
+                    "session_end": us[sel].max().astype("datetime64[us]"),
+                    "n": int(sel.sum()),
+                    "sum_value": float(g[value_col].to_numpy()[sel].sum()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
