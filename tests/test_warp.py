@@ -149,3 +149,26 @@ def test_codec_roundtrip_and_phash():
     assert phash64(img) != phash64(synth_pixels(6, 40, 30))
     with pytest.raises(NotImplementedError):
         decode_image(b"", 1, 1, "png")
+
+
+def test_pipeline_matches_checked_in_goldens():
+    """The float32 production warp must agree with the checked-in float64
+    goldens (tools/make_goldens.py) at PSNR ≥ 50 dB (stricter than the
+    input_hint's 40 dB gate)."""
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens", "warp_golden.npz")
+    goldens = np.load(golden_path)
+    from tools.make_goldens import CASES, FILTERS
+
+    for seed, w, h, proj, kw in CASES:
+        img = synth_pixels(seed, w, h)
+        georef = GeoRef(lon0=5.0 + seed, lat0=47.0 - seed, px_deg=0.01)
+        prepped = prepare(proj, ProjParams(**kw))
+        ox, oy, sx, sy = default_warp_window(prepped, georef, w, h)
+        for filt in FILTERS:
+            spec = WarpSpec(proj, ProjParams(**kw), ox, oy, sx, sy, w, h, filter=filt)
+            got = np.clip(warp_image(img, georef, spec), 0, 255).astype(np.uint8)
+            g = goldens[f"{proj}_{seed}_{filt}"]
+            p = psnr(got, g)
+            assert p >= 50.0, (proj, seed, filt, p)
