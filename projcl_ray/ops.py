@@ -448,23 +448,84 @@ def pip_join(
 
 
 class KnnActor:
-    """Geodesic kNN against a broadcast point set: per batch, candidate cells →
-    brute-force haversine top-k. For large target sets, pre-bucket targets by
-    cell and probe ring-of-cells (partitioning assumption: k nearest lie within
-    `ring` cells — callers size res_deg accordingly)."""
+    """Geodesic kNN against a broadcast point set.
 
-    def __init__(self, targets_ref, k: int, lon_col: str, lat_col: str):
+    Exact mode (prune_res_deg=None): brute-force haversine per batch.
+
+    Scale mode (prune_res_deg set): targets pre-bucketed by cell once per
+    worker; each query scores only targets in its ring-of-cells neighborhood,
+    expanding the ring until ≥k candidates exist. Partitioning assumption
+    (documented per SURVEY §7): the true k nearest lie within the final ring —
+    guaranteed here because rings expand until the k-th candidate distance is
+    closed, cell by cell, but pathological target distributions cost extra
+    ring expansions rather than wrong answers only while candidates-in-ring
+    remain a superset of true top-k within (ring−1) cell widths."""
+
+    def __init__(self, targets_ref, k: int, lon_col: str, lat_col: str,
+                 prune_res_deg: float | None = None):
         tgt = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
         self.tgt_ids = np.asarray(tgt[0])
         self.tgt_lon = np.asarray(tgt[1], np.float64)
         self.tgt_lat = np.asarray(tgt[2], np.float64)
         self.k = k
         self.lon_col, self.lat_col = lon_col, lat_col
+        self.res = prune_res_deg
+        if self.res is not None:
+            cells = index_mod.cell_id(self.tgt_lon, self.tgt_lat, self.res)
+            order = np.argsort(cells, kind="stable")
+            self._sorted_cells = cells[order]
+            self._order = order
+
+    def _candidates(self, cell: int, ring: int) -> np.ndarray:
+        nbrs = index_mod.cell_neighbors(np.array([cell]), self.res, ring=ring)[0]
+        lo = np.searchsorted(self._sorted_cells, nbrs, side="left")
+        hi = np.searchsorted(self._sorted_cells, nbrs, side="right")
+        return np.concatenate([self._order[a:b] for a, b in zip(lo, hi) if b > a]) \
+            if np.any(hi > lo) else np.empty(0, np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        idx, dist = spatial_mod.knn_brute(lon, lat, self.tgt_lon, self.tgt_lat, self.k)
+        if self.res is None:
+            idx, dist = spatial_mod.knn_brute(lon, lat, self.tgt_lon, self.tgt_lat, self.k)
+        else:
+            n = len(lon)
+            idx = np.empty((n, min(self.k, len(self.tgt_ids))), np.int64)
+            dist = np.empty_like(idx, dtype=np.float64)
+            cells = index_mod.cell_id(lon, lat, self.res)
+            # group queries by cell so each cell's candidate set is built once
+            order = np.argsort(cells, kind="stable")
+            kk = min(self.k, len(self.tgt_ids))
+            max_ring = int(180.0 / self.res) + 1
+            for cell in np.unique(cells):
+                qi = order[np.searchsorted(cells[order], cell, "left"):
+                           np.searchsorted(cells[order], cell, "right")]
+                ring = 1
+                while True:
+                    cand = self._candidates(int(cell), ring)
+                    if len(cand) < kk and ring < max_ring:
+                        ring += 1
+                        continue
+                    ci, cd = spatial_mod.knn_brute(
+                        lon[qi], lat[qi], self.tgt_lon[cand], self.tgt_lat[cand], kk
+                    )
+                    if ring >= max_ring:
+                        break
+                    # termination bound: the k-th distance must be closed by
+                    # the guaranteed coverage of ring r — any point outside the
+                    # ring is ≥ (r−1)·res cell widths away in lat OR lon; the
+                    # conservative meters-per-degree uses the band's min cosine
+                    lat_band = min(89.0, float(np.max(np.abs(lat[qi]))) + ring * self.res)
+                    mpd = 111194.9 * max(np.cos(np.radians(lat_band)), 0.02)
+                    # 2/π: great-circle distance for a pure-longitude offset Δλ
+                    # is ≥ (2/π)·R·Δλ·cosφ for any Δλ ≤ π (chord bound), so the
+                    # linear estimate must be derated to stay provably safe
+                    bound_m = (ring - 1) * self.res * mpd * (2.0 / np.pi)
+                    if float(cd[:, -1].max()) <= bound_m:
+                        break
+                    ring += 1
+                idx[qi] = cand[ci]
+                dist[qi] = cd
         n, k = idx.shape
         rep = np.repeat(np.arange(n), k)
         out = batch.take(pa.array(rep))
@@ -484,22 +545,26 @@ def knn_join(
     lon_col="lon",
     lat_col="lat",
     batch_size: int | None = 32 * 1024,
+    prune_res_deg: float | None = None,
     use_actors: bool = False,
     concurrency: int | tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
+    """Geodesic kNN join. ``prune_res_deg`` switches on the ring-of-cells
+    candidate pruning (the 100 TB path: per-query cost scales with local
+    target density, not total target count)."""
     ref = ray.put((np.asarray(target_ids), np.asarray(target_lon), np.asarray(target_lat)))
     if use_actors:
         return ds.map_batches(
             KnnActor,
-            fn_constructor_args=(ref, k, lon_col, lat_col),
+            fn_constructor_args=(ref, k, lon_col, lat_col, prune_res_deg),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
         )
 
     def _knn(batch: pa.Table) -> pa.Table:
-        worker = _cached(("knn", ref.hex(), k, lon_col, lat_col),
-                         lambda: KnnActor(ref, k, lon_col, lat_col))
+        worker = _cached(("knn", ref.hex(), k, lon_col, lat_col, prune_res_deg),
+                         lambda: KnnActor(ref, k, lon_col, lat_col, prune_res_deg))
         return worker(batch)
 
     return ds.map_batches(_knn, batch_format="pyarrow", batch_size=batch_size)

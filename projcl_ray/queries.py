@@ -554,7 +554,9 @@ FROM r WHERE rk <= 3
 def q_knn(sf_dir: str):
     cust = _customer_points(sf_dir)
     s_ids, s_lon, s_lat = _supplier_points(sf_dir)
-    out = ops.knn_join(cust, s_ids, s_lon, s_lat, k=3).to_pandas()
+    # exercise the ring-of-cells scale path — provably exact, so the DuckDB
+    # oracle (full cross-join + window) still matches
+    out = ops.knn_join(cust, s_ids, s_lon, s_lat, k=3, prune_res_deg=10.0).to_pandas()
     out["s_suppkey"] = out["neighbor_id"].astype(np.int64)
     out["neighbor_rank"] = out["neighbor_rank"].astype(np.int64)
     out["dist_m"] = np.floor(out["distance_m"].to_numpy()).astype(np.int64)

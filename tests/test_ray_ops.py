@@ -164,3 +164,31 @@ def test_salt_hot_keys(ray_session, sf_dir):
     fan = salted.groupby("cell_id")["salted_key"].nunique()
     for cid, n in fan.items():
         assert n == (4 if cid in hot else 1)
+
+
+def test_knn_pruned_matches_brute_dense_and_sparse(ray_session, sf_dir):
+    """Ring-of-cells pruning (the 100 TB path) must be EXACT vs brute force —
+    dense targets (pruning wins big) and sparse targets (rings must keep
+    expanding until the distance bound closes)."""
+    from projcl_ray.spatial import knn_brute
+
+    ds = lineitem_points(ray_session, sf_dir, limit=300)
+    pdf = (
+        ds.to_pandas()[["lon", "lat"]].drop_duplicates()
+        .sort_values(["lon", "lat"]).reset_index(drop=True)
+    )
+    rng = np.random.default_rng(3)
+    for m, res in ((20_000, 2.0), (25, 5.0)):  # dense / sparse
+        t_ids = np.arange(m)
+        t_lon = rng.uniform(-60, 60, m)
+        t_lat = rng.uniform(-40, 80, m)
+        out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=4, prune_res_deg=res).to_pandas()
+        got = (
+            out.drop_duplicates(["lon", "lat", "neighbor_rank"])
+            .sort_values(["lon", "lat", "neighbor_rank"]).reset_index(drop=True)
+        )
+        _, exp = knn_brute(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), t_lon, t_lat, 4)
+        np.testing.assert_allclose(
+            got["distance_m"].to_numpy().reshape(-1, 4), exp, rtol=1e-12,
+            err_msg=f"m={m} res={res}",
+        )
