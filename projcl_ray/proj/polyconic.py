@@ -114,32 +114,46 @@ def prepare_polyconic(params: ProjParams) -> PreparedProjection:
                 phi, np.sin(phi), np.cos(phi), en
             )
             phi = np.where(np.abs(phi) < 1e-9, 1e-9, phi)
-            sinp, cosp = np.sin(phi), np.cos(phi)
-            mlp = np.sqrt(1.0 - es * sinp * sinp)
-            lam = np.arcsin(np.clip(xx * sinp / cosp * mlp, -1.0, 1.0)) / sinp
+            sinp0, cosp0 = np.sin(phi), np.cos(phi)
+            mlp0 = np.sqrt(1.0 - es * sinp0 * sinp0)
+            lam = np.arcsin(np.clip(xx * sinp0 / cosp0 * mlp0, -1.0, 1.0)) / sinp0
             _ctol = dtype_tol(xx, 1e-14, 1e-6)
+            # active-set Newton: iterate only the not-yet-converged elements
+            # (converged points otherwise pay for the slowest point's 20+ iters)
+            shape = phi.shape
+            phi_f = np.ravel(phi).copy()
+            lam_f = np.ravel(lam).copy()
+            xx_f = np.ravel(np.broadcast_to(xx, shape)).copy()
+            yy_f = np.ravel(np.broadcast_to(yy, shape)).copy()
+            act = np.arange(phi_f.size)
             for _ in range(n_iter):
+                phi_a, lam_a = phi_f[act], lam_f[act]
+                xx_a, yy_a = xx_f[act], yy_f[act]
+                sinp, cosp = np.sin(phi_a), np.cos(phi_a)
                 sinp = np.where(np.abs(sinp) < 1e-12, np.copysign(1e-12, sinp + 1e-300), sinp)
+                mlp = np.sqrt(1.0 - es * sinp * sinp)
                 tanp = sinp / cosp
-                sinLS, cosLS = np.sin(lam * sinp), np.cos(lam * sinp)
-                sinL2, cosL2 = np.sin(0.5 * lam * sinp), np.cos(0.5 * lam * sinp)
-                f1 = sinLS / tanp / mlp - xx
-                f2 = mlfn(phi, sinp, cosp, en) - ml0 + xx * sinL2 / cosL2 - yy
+                sinLS, cosLS = np.sin(lam_a * sinp), np.cos(lam_a * sinp)
+                sinL2, cosL2 = np.sin(0.5 * lam_a * sinp), np.cos(0.5 * lam_a * sinp)
+                f1 = sinLS / tanp / mlp - xx_a
+                f2 = mlfn(phi_a, sinp, cosp, en) - ml0 + xx_a * sinL2 / cosL2 - yy_a
                 df1l = cosp / mlp * cosLS
                 df2l = cosp / mlp * sinLS
                 c1 = es * (1.0 + cosp * cosp) / (mlp * (1.0 - es * sinp * sinp))
                 c2 = 1.0 / (sinp * sinp * mlp * (1.0 - es * sinp * sinp))
-                df1p = lam * cosp / tanp / mlp * cosLS + sinLS * (c1 - c2)
-                df2p = mlfn1(phi, sinp, cosp, en) + 0.5 * lam * xx * cosp / (cosL2 * cosL2)
+                df1p = lam_a * cosp / tanp / mlp * cosLS + sinLS * (c1 - c2)
+                df2p = mlfn1(phi_a, sinp, cosp, en) + 0.5 * lam_a * xx_a * cosp / (cosL2 * cosL2)
                 inv_det = 1.0 / (df1p * df2l - df2p * df1l)
                 dphi = (f1 * df2l - f2 * df1l) * inv_det
                 dlam = (f2 * df1p - f1 * df2p) * inv_det
-                phi = phi - dphi
-                lam = lam - dlam
-                sinp, cosp = np.sin(phi), np.cos(phi)
-                mlp = np.sqrt(1.0 - es * sinp * sinp)
-                if np.all(np.abs(dphi) < _ctol) and np.all(np.abs(dlam) < _ctol):
+                phi_f[act] = phi_a - dphi
+                lam_f[act] = lam_a - dlam
+                still = (np.abs(dphi) >= _ctol) | (np.abs(dlam) >= _ctol)
+                if not still.any():
                     break
+                act = act[still]
+            phi = phi_f.reshape(shape)
+            lam = lam_f.reshape(shape)
             return mod_pi(lam + lam0) * RAD_TO_DEG, phi * RAD_TO_DEG
 
     return PreparedProjection("american_polyconic", params, forward, inverse)
