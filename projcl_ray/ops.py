@@ -675,3 +675,95 @@ def cell_counts(
     from ray.data.aggregate import Sum
 
     return partials.groupby(key_col).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def pip_join_large(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_deg: float = index_mod.DEFAULT_RES_DEG,
+) -> ray.data.Dataset:
+    """PIP join for polygon layers too large to broadcast: the cell equi-join
+    path (SURVEY §7 / SCALE.md).
+
+    ``polygons`` rows: (poly_id: string, vertices: list<double> — flattened
+    lon/lat pairs). Plan: explode polygons to one row per covered cell
+    (bbox-based, bounded fan-out) → union with cell-tagged points → ONE
+    groupby(cell_id) shuffle → exact ray-crossing test per cell group.
+    A point and polygon meet iff they share a cell, which bbox coverage
+    guarantees. Output: point rows + poly_id (deduped across cells).
+    """
+
+    def explode_poly_cells(batch: pa.Table) -> pa.Table:
+        pids, cells, verts = [], [], []
+        for pid, v in zip(batch["poly_id"].to_pylist(), batch["vertices"].to_pylist()):
+            arr = np.asarray(v, np.float64).reshape(-1, 2)
+            for c in index_mod.cells_covering_bbox(
+                arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(), res_deg
+            ):
+                pids.append(pid)
+                cells.append(int(c))
+                verts.append(list(np.asarray(v, np.float64)))
+        return pa.table(
+            {
+                "cell_id": pa.array(cells, pa.int64()),
+                "poly_id": pa.array(pids, pa.string()),
+                "vertices": pa.array(verts, pa.list_(pa.float64())),
+            }
+        )
+
+    poly_cells = polygons.map_batches(explode_poly_cells, batch_format="pyarrow")
+
+    pts = assign_cells(points, lon_col=lon_col, lat_col=lat_col, res_deg=res_deg)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("poly_id", pa.array([None] * n, pa.string()))
+        return batch.append_column("vertices", pa.array([None] * n, pa.list_(pa.float64())))
+
+    def tag_polys(batch: pa.Table) -> pa.Table:
+        # give polygon rows the point columns as nulls so the union aligns
+        n = batch.num_rows
+        for name, typ in zip(point_cols, point_types):
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.array([None] * n, typ))
+        return batch.select(sorted(batch.column_names))
+
+    pts_tagged = pts.map_batches(tag_points, batch_format="pyarrow")
+    point_schema = pts_tagged.schema()
+    point_cols = list(point_schema.names)
+    point_types = [point_schema.base_schema.field(c).type for c in point_cols]
+    both = pts_tagged.map_batches(
+        lambda t: t.select(sorted(t.column_names)), batch_format="pyarrow"
+    ).union(poly_cells.map_batches(tag_polys, batch_format="pyarrow"))
+
+    out_cols = [c for c in point_cols if c not in ("vertices",)]
+
+    def test_cell(group):
+        import pandas as pd
+
+        is_poly = group["vertices"].notna()
+        polys = group[is_poly]
+        pts_g = group[~is_poly]
+        if not len(polys) or not len(pts_g):
+            return pd.DataFrame({c: [] for c in out_cols})
+        px = pts_g[lon_col].to_numpy(np.float64)
+        py = pts_g[lat_col].to_numpy(np.float64)
+        frames = []
+        for _, prow in polys.iterrows():
+            poly = np.asarray(prow["vertices"], np.float64).reshape(-1, 2)
+            hit = spatial_mod.point_in_polygon(px, py, poly)
+            if hit.any():
+                f = pts_g[hit].copy()
+                f["poly_id"] = prow["poly_id"]
+                frames.append(f[out_cols])
+        if not frames:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.concat(frames, ignore_index=True)
+
+    joined = both.groupby("cell_id").map_groups(test_cell, batch_format="pandas")
+    # a (point, poly) pair can match in one cell only (the point's cell), so
+    # no cross-cell dedup is needed — every point has exactly one cell_id.
+    return joined

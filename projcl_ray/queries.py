@@ -1026,3 +1026,22 @@ def q_window_sessions(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return window.sessionize(ds, 3600.0)
+
+
+@q("pip_join_large_boxes", ORACLES["pip_join_boxes"])  # same oracle: paths must agree
+def q_pip_large(sf_dir: str):
+    """The cell-equi-join PIP path (large-layer fallback) against the SAME SQL
+    oracle as the broadcast path — both must produce identical joins."""
+    ds = derive_points(sf_dir)
+    polys = nation_boxes(sf_dir)
+    poly_ds = rd.from_items(
+        [{"poly_id": pid, "vertices": np.asarray(p, np.float64).ravel().tolist()} for pid, p in polys]
+    )
+    out = ops.pip_join_large(ds, poly_ds, res_deg=DEFAULT_RES_DEG)
+    agg = out.groupby("poly_id").aggregate(
+        Count(alias_name="n"), Sum("l_orderkey", alias_name="sum_ok")
+    ).to_pandas()
+    # the union with null-tagged polygon rows upcasts int columns to float
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["sum_ok"] = agg["sum_ok"].astype(np.int64)
+    return agg

@@ -192,3 +192,23 @@ def test_knn_pruned_matches_brute_dense_and_sparse(ray_session, sf_dir):
             got["distance_m"].to_numpy().reshape(-1, 4), exp, rtol=1e-12,
             err_msg=f"m={m} res={res}",
         )
+
+
+def test_pip_join_large_matches_broadcast(ray_session, sf_dir):
+    """The cell-equi-join path (large polygon layers) must produce exactly the
+    broadcast path's (point, polygon) pairs."""
+    import ray.data as rd
+
+    ds = lineitem_points(ray_session, sf_dir, limit=2500)
+    polys = [
+        (f"poly{j:04d}", make_convex_polygon(-30 + 15 * j, 8 * j - 20, 7.0, 8, seed=j))
+        for j in range(5)
+    ]
+    bc = ops.pip_join(ds, polys).to_pandas()
+    poly_ds = rd.from_items(
+        [{"poly_id": pid, "vertices": poly.ravel().tolist()} for pid, poly in polys]
+    )
+    lg = ops.pip_join_large(ds, poly_ds, res_deg=5.0).to_pandas()
+    key = lambda df: set(zip(df["lon"].round(9), df["lat"].round(9), df["poly_id"]))
+    assert key(lg) == key(bc)
+    assert len(lg) == len(bc)
