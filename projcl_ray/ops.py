@@ -661,17 +661,36 @@ def cell_counts(
     key_col: str = "cell_id",
     *,
     batch_size: int | None = None,  # whole blocks: a coalescing batch_size would stall the stream
-) -> ray.data.Dataset:
+    driver_merge: bool = True,
+):
     """Skew-proof distributed count per key: partial counts per batch inside
-    map_batches (the combiner), then a tiny groupby-sum over partials. A hot
-    key contributes ONE row per batch to the shuffle instead of all its rows —
-    pre-aggregation beats salting for algebraic aggregates (SURVEY §7)."""
+    map_batches (the combiner). A hot key contributes ONE row per batch
+    instead of all its rows — pre-aggregation beats salting for algebraic
+    aggregates (SURVEY §7).
+
+    Merge of the partials:
+    - ``driver_merge=True`` (default): stream the tiny partial rows to the
+      driver and merge in pandas — NO shuffle. Partial volume is bounded by
+      (#blocks × distinct keys per block), small even at 100 TB for
+      cell-grained keys. Returns a pandas DataFrame.
+    - ``driver_merge=False``: distributed groupby-sum over the partials (for
+      genuinely huge key cardinalities). Returns a Dataset.
+
+    Ray's sort-based aggregate costs seconds of fixed latency regardless of
+    row count — for a few thousand output rows the driver merge removes it
+    entirely (measured 13.6 s → 7.7 s on the headline pipeline).
+    """
 
     def partial(batch: dict) -> dict:
         keys, counts = np.unique(np.asarray(batch[key_col], np.int64), return_counts=True)
         return {key_col: keys, "partial_n": counts.astype(np.int64)}
 
     partials = ds.map_batches(partial, batch_format="numpy", batch_size=batch_size)
+    if driver_merge:
+        pdf = partials.to_pandas()
+        return (
+            pdf.groupby(key_col, as_index=False)["partial_n"].sum().rename(columns={"partial_n": "n"})
+        )
     from ray.data.aggregate import Sum
 
     return partials.groupby(key_col).aggregate(Sum("partial_n", alias_name="n"))

@@ -48,13 +48,20 @@ def dest_grid(origin_x: float, origin_y: float, size_x: float, size_y: float,
 
 
 def _gather(img: np.ndarray, ix: np.ndarray, iy: np.ndarray, border_zero: bool):
-    """Integer-index gather with CLAMP (border=0) or CLAMP_TO_EDGE semantics."""
+    """Integer-index gather with CLAMP (border=0) or CLAMP_TO_EDGE semantics.
+
+    Integer-typed sources (uint8) are gathered as-is and cast AFTER the random
+    access — the hot randomly-accessed array stays 4× smaller than float32,
+    which is what keeps 32 concurrent workers cache-resident instead of
+    DRAM-bound."""
     h, w = img.shape[:2]
+    out = img[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
+    if out.dtype == np.uint8:
+        out = out.astype(np.float32)
     if border_zero:
         inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        out = img[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
-        return np.where(inside[..., None], out, 0.0)
-    return img[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
+        out = np.where(inside[..., None], out, 0.0)
+    return out
 
 
 def sample_nearest(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
@@ -68,7 +75,7 @@ def sample_bilinear(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarr
     y0 = np.floor(py).astype(np.int64)
     # fractional weights in the image dtype: float32 pixels must not be
     # upcast to float64 by the weights (doubles memory traffic in the gathers)
-    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    wdt = np.float64 if img.dtype == np.dtype(np.float64) else np.float32
     fx = (px - x0)[..., None].astype(wdt)
     fy = (py - y0)[..., None].astype(wdt)
     p00 = _gather(img, x0, y0, True)
@@ -88,7 +95,7 @@ def _cubic4(X, A, B, C, D):
 def sample_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     xB = np.floor(px).astype(np.int64)
     yB = np.floor(py).astype(np.int64)
-    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    wdt = np.float64 if img.dtype == np.dtype(np.float64) else np.float32
     fx = (px - xB)[..., None].astype(wdt)
     fy = (py - yB)[..., None].astype(wdt)
     rows = []
@@ -102,7 +109,7 @@ def sample_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarra
 def sample_quasi_bicubic(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     xB = np.floor(px).astype(np.int64)
     yB = np.floor(py).astype(np.int64)
-    wdt = img.dtype if img.dtype in (np.dtype(np.float32), np.dtype(np.float64)) else np.float64
+    wdt = np.float64 if img.dtype == np.dtype(np.float64) else np.float32
     fx = (px - xB)[..., None].astype(wdt)
     fy = (py - yB)[..., None].astype(wdt)
     # outer rows A/D: linear mix of the two center columns
@@ -186,17 +193,18 @@ def warp_image(img: np.ndarray, georef: GeoRef, spec: WarpSpec,
     # for the point-projection API (ops.project_points).
     gx = gx.astype(np.float32)
     gy = gy.astype(np.float32)
-    # float32 pixel plane: half the memory traffic of float64 in the sampler
-    # gathers (uint8 sources are exact in float32; the reference is float32 too)
-    img32 = np.asarray(img, np.float32)
+    # keep uint8 sources uint8 (gathers cast per tap — see _gather); float
+    # inputs are taken as float32 (exact for uint8-derived data, half the
+    # traffic of float64; the reference is float32 too)
+    img32 = img if img.dtype == np.uint8 else np.asarray(img, np.float32)
     sampler = SAMPLERS[spec.filter]
     shift = bool(spec.dst_datum and spec.src_datum and spec.dst_datum != spec.src_datum)
 
     # process the dest grid in horizontal bands so the per-band temporaries
     # (projection intermediates + 16 sampler gathers) stay cache-resident —
     # under many concurrent workers the unbanded version is DRAM-bound
-    band_rows = max(1, 16384 // max(spec.width, 1))
-    out = np.empty((spec.height, spec.width, img32.shape[2]), dtype=img32.dtype)
+    band_rows = max(1, 8192 // max(spec.width, 1))
+    out = np.empty((spec.height, spec.width, img32.shape[2]), dtype=np.float32)
     for r0 in range(0, spec.height, band_rows):
         r1 = min(r0 + band_rows, spec.height)
         lon, lat = prepped.inverse(gx[r0:r1], gy[r0:r1])

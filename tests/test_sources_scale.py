@@ -53,9 +53,12 @@ def test_cell_counts_matches_groupby(ray_session, sf_dir):
     from projcl_ray.pipelines import derive_points
 
     ds = ops.assign_cells(derive_points(sf_dir))
-    fast = ops.cell_counts(ds).to_pandas().set_index("cell_id")["n"]
+    # driver-merge mode returns pandas directly; shuffle mode returns a Dataset
+    fast = ops.cell_counts(ds).set_index("cell_id")["n"]
+    dist = ops.cell_counts(ds, driver_merge=False).to_pandas().set_index("cell_id")["n"]
     slow = ds.groupby("cell_id").count().to_pandas().set_index("cell_id")["count()"]
     assert fast.sort_index().equals(slow.sort_index().rename("n"))
+    assert dist.sort_index().equals(slow.sort_index().rename("n"))
 
 
 def test_datum_shift_on_grids():
