@@ -104,13 +104,10 @@ def cosine_dup_pairs(
     emb_col: str = "embedding",
     batch_size: int | None = 4096,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-duplicate pairs above threshold.
+    """Embedding-cosine near-duplicate pairs above threshold — EXACT small-
+    scale path (single partition, full pairwise GEMM). For corpora that don't
+    fit one partition use :func:`cosine_dup_pairs_lsh`."""
 
-    Within-batch exact pass + cross-batch via a coarse LSH bucket (sign of
-    random projections) so candidates co-locate; for the test scale a single
-    repartition(1) fallback keeps it exact. Returns (id_a, id_b, score)."""
-    # exact small-scale path: bucket everything together but ship only
-    # (id, embedding); at 100 TB swap in the sign-LSH bucketing below.
     def pairs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch[emb_col]))
@@ -127,6 +124,116 @@ def cosine_dup_pairs(
 
     slim = ds.select_columns([id_col, emb_col])
     return slim.repartition(1).map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+def cosine_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 12,
+    dim: int | None = None,
+    seed: int = 7,
+    max_bucket: int = 512,
+    batch_size: int | None = 4096,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup at scale: sign-of-random-projection LSH.
+
+    Each vector hashes into ``n_tables`` buckets of ``bits`` hyperplane signs
+    (collision prob. per table = (1 − θ/π)^bits with θ = arccos(sim) — high
+    for near-dups, tiny otherwise); per-bucket exact cosine verification runs
+    inside a bounded-group shuffle. Only (id, embedding) rows move, hashed
+    ``n_tables``× — payload never leaves the map side more than that.
+
+    Recall is probabilistic (1 − (1 − p^bits)^n_tables); pairs passing the
+    threshold are EXACT (verified). ``max_bucket`` guards hot buckets (a
+    too-coarse table for the corpus) like the MinHash path.
+    """
+    rng = np.random.default_rng(seed)
+    if dim is None:
+        first = ds.take(1)[0][emb_col]
+        dim = len(first)
+    planes = rng.normal(size=(n_tables, bits, dim)).astype(np.float32)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        n = len(ids)
+        powers = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        out_ids, out_tbl, out_bkt, out_emb = [], [], [], []
+        for t in range(n_tables):
+            signs = (m @ planes[t].T) > 0  # (n, bits)
+            codes = (signs.astype(np.uint64) * powers[None, :]).sum(axis=1)
+            out_ids.append(ids)
+            out_tbl.append(np.full(n, t, np.int32))
+            out_bkt.append(codes.astype(np.int64))
+            out_emb.append(m)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "lsh_table": pa.array(np.concatenate(out_tbl), pa.int32()),
+                "lsh_bucket": pa.array(np.concatenate(out_bkt), pa.int64()),
+                emb_col: pa.array(list(np.concatenate(out_emb, axis=0))),
+            }
+        )
+
+    buckets = ds.select_columns([id_col, emb_col]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    # bounded-group partition (as in minhash): vectorized per-part verification
+    n_parts = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["lsh_bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(131)
+            + batch["lsh_table"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return batch.append_column("part", pa.array((key % n_parts).astype(np.int64)))
+
+    def verify(group):
+        import pandas as pd
+
+        out = []
+        for (_, _), g in group.groupby(["lsh_table", "lsh_bucket"], sort=False):
+            g = g.drop_duplicates(id_col).head(max_bucket)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            m = np.stack(g[emb_col].to_numpy()).astype(np.float32)
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            if mask.any():
+                a, b = ids[iu[mask]], ids[ju[mask]]
+                swap = a > b
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                out.append(pd.DataFrame({"id_a": a2, "id_b": b2,
+                                         "score": sims[iu[mask], ju[mask]].astype(np.float64)}))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = buckets.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        verify, batch_format="pandas"
+    )
+
+    # dedup pairs found in multiple tables (bounded groups, vectorized)
+    def add_pp(batch: pa.Table) -> pa.Table:
+        a = np.asarray(pa.compute.cast(batch["id_a"], pa.int64()).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        b = np.asarray(pa.compute.cast(batch["id_b"], pa.int64()).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return batch.append_column("pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(64)).astype(np.int64)))
+
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]), batch_format="pandas")
+        .drop_columns(["pp"])
+    )
 
 
 def ivf_assign(ds: ray.data.Dataset, centroids: np.ndarray, *,

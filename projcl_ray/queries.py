@@ -8,9 +8,12 @@ Conventions that make hash-compare robust:
   fmod, /10);
 - float outputs are quantized at the reference's own tolerance before compare:
   projected meters → floor(x) (ref guarantees 10 m), degrees →
-  floor(x·1e4) ≈ 10 m (ref guarantees 1 arc-sec ≈ 30 m). This absorbs ≤1-ulp
-  libm differences between NumPy and DuckDB; everything else is integer/string
-  exact;
+  floor(x·1e4 + 0.5) ≈ 10 m (ref guarantees 1 arc-sec ≈ 30 m). This absorbs
+  ≤1-ulp libm differences between NumPy and DuckDB; everything else is
+  integer/string exact;
+- SUMS of 2-decimal source values (prices, quantities) are integer-valued, so
+  plain floor(sum) sits on a knife edge that summation ORDER can flip — all
+  money/quantity sums quantize as cents: floor(x·100 + 0.5);
 - every computed column carries the same name in the Ray result and the SQL.
 
 Host-precomputed projection constants are inlined into the SQL as full-
@@ -682,8 +685,8 @@ def q_cosine_dup(sf_dir: str):
     "agg_lineitem_pricing",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(floor(SUM(l_quantity)) AS BIGINT) AS sum_qty,
-  CAST(floor(SUM(l_extendedprice)) AS BIGINT) AS sum_price,
+  CAST(floor(SUM(l_quantity)*100.0 + 0.5) AS BIGINT) AS sum_qty,
+  CAST(floor(SUM(l_extendedprice)*100.0 + 0.5) AS BIGINT) AS sum_price,
   COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -698,7 +701,11 @@ def q_tpch_q1(sf_dir: str):
         Sum("l_extendedprice", alias_name="sum_price"),
         Count(alias_name="n"),
     ).to_pandas()
-    return _quant_df(out, {"sum_qty": 1.0, "sum_price": 1.0})
+    # 2-decimal source values make sums integer-valued: quantize as cents with
+    # round-to-nearest so summation-order FP error cannot flip the result
+    out["sum_qty"] = np.floor(out["sum_qty"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    out["sum_price"] = np.floor(out["sum_price"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return out
 
 
 @q(
@@ -735,14 +742,14 @@ def q_orders_per_nation(sf_dir: str):
 @q(
     "sort_top_orders",
     """
-SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_m
+SELECT o_orderkey, CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS price_m
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
 )
 def q_top_orders(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
-    top["price_m"] = np.floor(top["o_totalprice"].to_numpy()).astype(np.int64)
+    top["price_m"] = np.floor(top["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return top[["o_orderkey", "price_m"]]
 
 
@@ -750,7 +757,7 @@ def q_top_orders(sf_dir: str):
     "events_hourly_window",
     """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_value
+  COUNT(*) AS n, CAST(floor(SUM(value)*100.0 + 0.5) AS BIGINT) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """,
 )
@@ -765,7 +772,7 @@ def q_events_window(sf_dir: str):
         ["event_type", "window_start"]
     ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     out = agg.to_pandas()
-    out["sum_value"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    out["sum_value"] = np.floor(out["sum_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return out
 
 
@@ -982,7 +989,7 @@ FROM r
     """
 SELECT event_type,
   to_timestamp(floor(epoch(ts) / 900.0) * 900.0)::TIMESTAMP AS window_start,
-  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_q
+  COUNT(*) AS n, CAST(floor(SUM(value)*100.0 + 0.5) AS BIGINT) AS sum_q
 FROM events GROUP BY 1, 2
 """,
 )
@@ -991,7 +998,7 @@ def q_window_tumbling(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = window.tumbling(ds, 900.0).to_pandas()
-    out["sum_q"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    out["sum_q"] = np.floor(out["sum_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return out[["event_type", "window_start", "n", "sum_q"]]
 
 
@@ -1007,7 +1014,7 @@ f AS (
     WHERE last_start - 900.0 <= sec AND sec < last_start + 900.0
 )
 SELECT event_type, to_timestamp(ws)::TIMESTAMP AS window_start,
-  COUNT(*) AS n, CAST(floor(SUM(value)) AS BIGINT) AS sum_q
+  COUNT(*) AS n, CAST(floor(SUM(value)*100.0 + 0.5) AS BIGINT) AS sum_q
 FROM f GROUP BY 1, 2
 """,
 )
@@ -1016,7 +1023,7 @@ def q_window_sliding(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     out = window.sliding(ds, 1800.0, 900.0).to_pandas()
-    out["sum_q"] = np.floor(out["sum_value"].to_numpy()).astype(np.int64)
+    out["sum_q"] = np.floor(out["sum_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return out[["event_type", "window_start", "n", "sum_q"]]
 
 
@@ -1045,3 +1052,9 @@ def q_pip_large(sf_dir: str):
     agg["n"] = agg["n"].astype(np.int64)
     agg["sum_ok"] = agg["sum_ok"].astype(np.int64)
     return agg
+
+
+@q("ann_cosine_neardup_lsh")  # probabilistic recall, exact verification — rows-only
+def q_cosine_dup_lsh(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.cosine_dup_pairs_lsh(ds, threshold=0.4, n_tables=8, bits=8)

@@ -172,3 +172,30 @@ def test_cosine_dup_pairs(ray_session):
     ]
     out = ann.cosine_dup_pairs(rd.from_items(rows), threshold=0.95).to_pandas()
     assert {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])} == {(0, 1)}
+
+
+def test_cosine_dup_lsh_finds_planted_pairs(ray_session):
+    """Sign-LSH near-dup: planted near-duplicates must be found and verified
+    pairs must be a subset of the exact path's pairs (verification is exact)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # 10 planted near-dup pairs + 200 random vectors
+    for i in range(10):
+        base = rng.normal(size=64).astype(np.float32)
+        rows.append({"vec_id": 2 * i, "embedding": base.tolist()})
+        rows.append({"vec_id": 2 * i + 1,
+                     "embedding": (base + rng.normal(scale=0.02, size=64).astype(np.float32)).tolist()})
+    for j in range(200):
+        rows.append({"vec_id": 1000 + j, "embedding": rng.normal(size=64).astype(np.float32).tolist()})
+    ds = rd.from_items(rows)
+    exact = ann.cosine_dup_pairs(ds, threshold=0.95).to_pandas()
+    lsh = ann.cosine_dup_pairs_lsh(ds, threshold=0.95, n_tables=8, bits=10).to_pandas()
+    exact_pairs = {(int(a), int(b)) for a, b in zip(exact["id_a"], exact["id_b"])}
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lsh_pairs <= exact_pairs  # verification is exact → no false positives
+    # recall: with 8 tables of 10 bits at sim≈0.998 recall is ~1
+    assert len(lsh_pairs) >= 9
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert len(lsh_pairs & planted) >= 9

@@ -106,9 +106,12 @@ def main():
             if len(g) == len(e):
                 for c in g.columns:
                     if not g[c].equals(e[c]):
-                        diff = (g[c] != e[c]) if g[c].dtype == object else ~np.isclose(
-                            g[c].astype(float), e[c].astype(float), rtol=0, atol=0, equal_nan=True
-                        )
+                        if g[c].dtype == object or np.issubdtype(g[c].dtype, np.datetime64):
+                            diff = g[c] != e[c]
+                        else:
+                            diff = ~np.isclose(
+                                g[c].astype(float), e[c].astype(float), rtol=0, atol=0, equal_nan=True
+                            )
                         nbad = int(np.sum(diff))
                         if nbad:
                             i = int(np.argmax(np.asarray(diff)))
