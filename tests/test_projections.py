@@ -192,3 +192,15 @@ def test_known_values_vs_published():
     # pyproj/PROJ reference: easting 571666.45, northing 5539109.82 (±0.01 m)
     assert abs(x[0] - 571666.4475) < 0.01
     assert abs(y[0] - 5539109.8153) < 0.01
+
+
+def test_albers_snyder_worked_example():
+    """Snyder, 'Map Projections: A Working Manual' (USGS PP 1395), Albers
+    spherical numerical example: R=1, φ1=29.5°, φ2=45.5°, φ0=23°, λ0=−96°,
+    point (35°N, 75°W) → x=0.2952720, y=0.2416774."""
+    p = prepare("albers_equal_area", spheroid="SPHERE",
+                rlat1=29.5, rlat2=45.5, lat0=23.0, lon0=-96.0)
+    x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+    R = 6370997.0
+    assert abs(x[0] / R - 0.2952720) < 5e-7
+    assert abs(y[0] / R - 0.2416774) < 5e-7
