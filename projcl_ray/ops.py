@@ -786,3 +786,37 @@ def pip_join_large(
     # a (point, poly) pair can match in one cell only (the point's cell), so
     # no cross-cell dedup is needed — every point has exactly one cell_id.
     return joined
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    batch_size: int | None = None,
+) -> dict[float, float]:
+    """Exact quantiles of a numeric column: per-block SORTED partials stream to
+    the driver (one column only — bytes moved = 8·n), k-way concatenated and
+    cut at the requested ranks. DuckDB quantile_disc semantics (lower of the
+    two straddling values).
+
+    At 100 TB swap the driver concat for a mergeable quantile sketch (KLL /
+    t-digest); the partial-per-block plumbing is identical — only the merge
+    step changes.
+    """
+
+    def partial(batch: dict) -> dict:
+        return {col: np.sort(np.asarray(batch[col], np.float64))}
+
+    parts = ds.select_columns([col]).map_batches(partial, batch_format="numpy",
+                                                 batch_size=batch_size)
+    vals = np.sort(np.concatenate(
+        [np.asarray(b[col]) for b in parts.iter_batches(batch_format="numpy")]
+    ))
+    n = len(vals)
+    out = {}
+    for q in qs:
+        # quantile_disc: value at index ceil(q*n) - 1 (1-based), clamped
+        idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        out[q] = float(vals[idx])
+    return out

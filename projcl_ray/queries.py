@@ -1058,3 +1058,40 @@ def q_pip_large(sf_dir: str):
 def q_cosine_dup_lsh(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.cosine_dup_pairs_lsh(ds, threshold=0.4, n_tables=8, bits=8)
+
+
+@q(
+    "events_json_extract",
+    """
+SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def q_json_extract(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = text.extract_json_field(ds, "k", json_col="props")
+    return ds.groupby(["event_type", "k"]).aggregate(Count(alias_name="n"))
+
+
+@q(
+    "quantiles_extendedprice",
+    """
+SELECT 'l_extendedprice' AS col,
+  CAST(floor(quantile_disc(l_extendedprice, 0.5)*100.0 + 0.5) AS BIGINT) AS p50,
+  CAST(floor(quantile_disc(l_extendedprice, 0.9)*100.0 + 0.5) AS BIGINT) AS p90,
+  CAST(floor(quantile_disc(l_extendedprice, 0.99)*100.0 + 0.5) AS BIGINT) AS p99
+FROM lineitem
+""",
+)
+def q_quantiles(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    qv = ops.exact_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+    return pd.DataFrame(
+        {
+            "col": ["l_extendedprice"],
+            "p50": [np.int64(np.floor(qv[0.5] * 100.0 + 0.5))],
+            "p90": [np.int64(np.floor(qv[0.9] * 100.0 + 0.5))],
+            "p99": [np.int64(np.floor(qv[0.99] * 100.0 + 0.5))],
+        }
+    )

@@ -138,3 +138,32 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def extract_json_field(ds: ray.data.Dataset, field: str, *, json_col: str = "props",
+                       out: str | None = None) -> ray.data.Dataset:
+    """Semi-structured extraction: pull one field out of a JSON-string column
+    (stdlib json per row; malformed rows yield null). Output column is int64
+    when every value parses as an integer, else string — matching DuckDB's
+    CAST(json_extract(...) AS BIGINT) for the oracle."""
+    import json
+
+    out = out or field
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        vals = []
+        all_int = True
+        for s in batch[json_col].to_pylist():
+            try:
+                v = json.loads(s).get(field)
+            except (json.JSONDecodeError, AttributeError, TypeError):
+                v = None
+            if v is not None and not isinstance(v, int):
+                all_int = False
+            vals.append(v)
+        arr = pa.array(vals, pa.int64()) if all_int else pa.array(
+            [None if v is None else str(v) for v in vals], pa.string()
+        )
+        return batch.append_column(out, arr)
+
+    return ds.map_batches(_extract, batch_format="pyarrow")

@@ -71,3 +71,38 @@ def test_datum_shift_on_grids():
     lf, pf = shift_datum(gx.ravel(), gy.ravel(), "WGS_84", "NAD_27")
     np.testing.assert_array_equal(lon2, lf.reshape(gx.shape))
     np.testing.assert_array_equal(lat2, pf.reshape(gy.shape))
+
+
+def test_exact_quantiles_matches_numpy(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    got = ops.exact_quantiles(ds, "l_extendedprice", [0.0, 0.5, 0.95, 1.0])
+    vals = np.sort(pq.read_table(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_extendedprice"])["l_extendedprice"].to_numpy())
+    n = len(vals)
+    for q, v in got.items():
+        idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        assert v == vals[idx], (q, v, vals[idx])
+
+
+def test_extract_json_field(ray_session, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from projcl_ray.text import extract_json_field
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    out = extract_json_field(ds, "k").to_pandas().sort_values("event_id")
+    exp = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"]).to_pandas()
+    exp = exp.sort_values("event_id")
+    np.testing.assert_array_equal(
+        out["k"].to_numpy(), [json.loads(p)["k"] for p in exp["props"]]
+    )
+    # malformed JSON → null, not an exception
+    bad = rd.from_items([{"props": "{not json"}, {"props": '{"k": 7}'}])
+    got = extract_json_field(bad, "k").to_pandas()
+    assert got["k"].isna().sum() == 1 and got["k"].dropna().iloc[0] == 7
