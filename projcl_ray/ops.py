@@ -287,16 +287,19 @@ class WarpTileActor:
             with np.errstate(all="ignore"):
                 warped = warp_image(img, georef, spec, self.prepped)
             warped8 = np.clip(warped, 0, 255).astype(np.uint8)
-            # geographic center of each tile for cell assignment
-            for tx, ty, tidx, tile in index_mod.cut_tiles(warped8, self.tile_size):
-                cx = ox + sx * min((tx + 0.5) * self.tile_size / max(spec.width - 1, 1), 1.0)
-                cy = oy + sy * min((ty + 0.5) * self.tile_size / max(spec.height - 1, 1), 1.0)
-                with np.errstate(all="ignore"):
-                    clon, clat = self.prepped.inverse(np.array([cx]), np.array([cy]))
-                cid = int(index_mod.cell_id(clon, clat, self.res_deg)[0])
+            tiles = list(index_mod.cut_tiles(warped8, self.tile_size))
+            # geographic center of every tile in ONE inverse call per image
+            txs = np.array([t[0] for t in tiles], np.float64)
+            tys = np.array([t[1] for t in tiles], np.float64)
+            cx = ox + sx * np.minimum((txs + 0.5) * self.tile_size / max(spec.width - 1, 1), 1.0)
+            cy = oy + sy * np.minimum((tys + 0.5) * self.tile_size / max(spec.height - 1, 1), 1.0)
+            with np.errstate(all="ignore"):
+                clon, clat = self.prepped.inverse(cx, cy)
+            cids = index_mod.cell_id(clon, clat, self.res_deg)
+            for j, (tx, ty, tidx, tile) in enumerate(tiles):
                 out["image_id"].append(cols["image_id"][i])
                 out["caption"].append(cols["caption"][i])
-                out["cell_id"].append(cid)
+                out["cell_id"].append(int(cids[j]))
                 out["tile_col"].append(tx)
                 out["tile_row"].append(ty)
                 out["tile_idx"].append(tidx)
@@ -305,8 +308,8 @@ class WarpTileActor:
                 out["w"].append(tile.shape[1])
                 out["h"].append(tile.shape[0])
                 out["fmt"].append("raw")
-                out["center_lon"].append(float(clon[0]))
-                out["center_lat"].append(float(clat[0]))
+                out["center_lon"].append(float(clon[j]))
+                out["center_lat"].append(float(clat[j]))
         return pa.table(
             {
                 "image_id": pa.array(out["image_id"], pa.string()),

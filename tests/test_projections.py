@@ -204,3 +204,18 @@ def test_albers_snyder_worked_example():
     R = 6370997.0
     assert abs(x[0] / R - 0.2952720) < 5e-7
     assert abs(y[0] / R - 0.2416774) < 5e-7
+
+
+def test_longitude_wrap_mod_pi():
+    """pl_mod_pi edge semantics: inverse outputs wrap once into (−180,180]
+    when λ0 pushes λ past ±180 (peel.opencl:55-57)."""
+    p = prepare("transverse_mercator", spheroid="SPHERE", lon0=170.0)
+    x, y = p.forward(np.array([175.0, -175.0]), np.array([10.0, 10.0]))
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lon2, [175.0, -175.0], atol=1e-9)
+    assert np.all(lon2 > -180.0) and np.all(lon2 <= 180.0)
+    # LAEA centered at the antimeridian
+    p2 = prepare("lambert_azimuthal_equal_area", spheroid="SPHERE", lon0=180.0)
+    x, y = p2.forward(np.array([179.0, -179.0]), np.array([0.0, 0.0]))
+    lon2, _ = p2.inverse(x, y)
+    np.testing.assert_allclose(lon2, [179.0, -179.0], atol=1e-9)
