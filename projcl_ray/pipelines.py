@@ -111,3 +111,45 @@ def flagship(
         Max("tile_idx", alias_name="max_tile_idx"),
         Mean("center_lat", alias_name="mean_lat"),
     )
+
+
+def flagship_partitioned(
+    out_dir: str,
+    n_images: int = 64,
+    n_shards: int = 4,
+    *,
+    proj_name: str = "transverse_mercator",
+    spheroid: str = "WGS_84",
+    tile_size: int = 64,
+    resume: bool = True,
+) -> list[dict]:
+    """The flagship warp→tile pipeline with per-partition checkpoint/resume
+    (north-rule: resumable with per-partition lineage + metrics).
+
+    The image corpus is split into ``n_shards`` deterministic shards; each
+    shard streams independently through warp+tile into its own
+    ``part=<shard>/`` parquet directory with a `_MANIFEST` record (rows, input
+    lineage, wall time). A rerun skips completed shards; a crashed shard
+    leaves no manifest and is rebuilt. Returns the manifest records written
+    this run (empty = everything was already complete).
+    """
+    from . import checkpoint
+
+    tbl = synth_images_table(n_images, seed=42)
+    per = (n_images + n_shards - 1) // n_shards
+
+    def build(key: str) -> rd.Dataset:
+        s = int(key)
+        shard = tbl.slice(s * per, per)
+        ds = rd.from_arrow(shard)
+        return ops.warp_and_tile(
+            ds, proj_name, ProjParams(spheroid=spheroid), tile_size=tile_size, batch_size=8
+        )
+
+    return checkpoint.run_partitioned(
+        [str(i) for i in range(n_shards)],
+        build,
+        out_dir,
+        input_desc=lambda k: f"images[{int(k) * per}:{int(k) * per + per}] seed=42",
+        resume=resume,
+    )

@@ -1095,3 +1095,26 @@ def q_quantiles(sf_dir: str):
             "p99": [np.int64(np.floor(qv[0.99] * 100.0 + 0.5))],
         }
     )
+
+
+@q("flagship_partitioned_resume")  # checkpoint/lineage demo — rows-only
+def q_flagship_partitioned(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from .pipelines import flagship_partitioned
+
+    out = tempfile.mkdtemp(prefix="graft_flagship_ckpt_")
+    try:
+        recs = flagship_partitioned(out, n_images=24, n_shards=3)
+        again = flagship_partitioned(out, n_images=24, n_shards=3)  # resume → []
+        return pd.DataFrame(
+            {
+                "shard": [r["key"] for r in recs],
+                "rows": [r["rows"] for r in recs],
+                "input": [r["input"] for r in recs],
+                "resumed_rebuilds": [len(again)] * len(recs),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -65,3 +65,32 @@ def test_checkpoint_resume(ray_session, tmp_path):
     # output readable end-to-end
     total = rd.read_parquet(out + "/part=a").count() + rd.read_parquet(out + "/part=b").count()
     assert total == 20
+
+
+def test_flagship_partitioned_resume(ray_session, tmp_path):
+    """End-to-end resumable flagship: run → all shards manifested; delete one
+    manifest (simulated crash) → rerun rebuilds exactly that shard; tile
+    totals identical to a fresh run."""
+    import ray.data as rd
+
+    from projcl_ray import checkpoint
+    from projcl_ray.pipelines import flagship_partitioned
+
+    out = str(tmp_path / "flagship")
+    recs = flagship_partitioned(out, n_images=24, n_shards=3)
+    assert [r["key"] for r in recs] == ["0", "1", "2"]
+    assert all(r["rows"] > 0 and r["wall_s"] >= 0 for r in recs)
+    assert all("images[" in r["input"] for r in recs)  # lineage recorded
+    total = rd.read_parquet(out + "/part=1").count() + sum(
+        rd.read_parquet(out + f"/part={k}").count() for k in ("0", "2")
+    )
+
+    # resume: nothing to do
+    assert flagship_partitioned(out, n_images=24, n_shards=3) == []
+
+    # crash simulation: drop shard 1's manifest → only shard 1 rebuilds
+    os.remove(os.path.join(checkpoint.manifest_dir(out), "1.json"))
+    recs2 = flagship_partitioned(out, n_images=24, n_shards=3)
+    assert [r["key"] for r in recs2] == ["1"]
+    total2 = sum(rd.read_parquet(out + f"/part={k}").count() for k in ("0", "1", "2"))
+    assert total2 == total
