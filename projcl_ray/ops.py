@@ -823,3 +823,27 @@ def exact_quantiles(
         idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
         out[q] = float(vals[idx])
     return out
+
+
+def semi_join_keys(
+    ds: ray.data.Dataset,
+    keys,
+    key_col: str,
+    *,
+    anti: bool = False,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Semi/anti join against a broadcast key set (the guide's pattern for
+    one-small-side joins): the key set ships once via ray.put, each batch
+    filters with a vectorized np.isin. ``anti=True`` keeps non-matching rows.
+    At 100 TB scale swap the exact set for a Bloom filter — same plumbing."""
+    ref = ray.put(np.unique(np.asarray(keys)))
+
+    def _filter(batch: dict) -> dict:
+        keyset = _cached(("semijoin", ref.hex()), lambda: ray.get(ref))
+        mask = np.isin(np.asarray(batch[key_col]), keyset)
+        if anti:
+            mask = ~mask
+        return {k: np.asarray(v)[mask] for k, v in batch.items()}
+
+    return ds.map_batches(_filter, batch_format="numpy", batch_size=batch_size)

@@ -1118,3 +1118,42 @@ def q_flagship_partitioned(sf_dir: str):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@q(
+    "anti_join_customers_no_450k_order",
+    """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+GROUP BY c_mktsegment
+""",
+)
+def q_anti_join(sf_dir: str):
+    """Anti join via broadcast key set (Bloom filter at scale). Keys collected
+    with a payload-free filtered column scan."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = o.filter(pc.greater(o["o_totalprice"], 450000.0))["o_custkey"].to_numpy()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = ops.semi_join_keys(cust, keys, "c_custkey", anti=True)
+    return out.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+@q(
+    "semi_join_customers_with_orders",
+    """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+""",
+)
+def q_semi_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"].to_numpy()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = ops.semi_join_keys(cust, okeys, "c_custkey")
+    return out.groupby("c_mktsegment").aggregate(Count(alias_name="n"))

@@ -106,3 +106,17 @@ def test_extract_json_field(ray_session, sf_dir):
     bad = rd.from_items([{"props": "{not json"}, {"props": '{"k": 7}'}])
     got = extract_json_field(bad, "k").to_pandas()
     assert got["k"].isna().sum() == 1 and got["k"].dropna().iloc[0] == 7
+
+
+def test_semi_anti_join_keys(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    all_keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy()
+    some = all_keys[: len(all_keys) // 3]
+    semi = ops.semi_join_keys(cust, some, "c_custkey").to_pandas()
+    anti = ops.semi_join_keys(cust, some, "c_custkey", anti=True).to_pandas()
+    assert set(semi["c_custkey"]) == set(some)
+    assert set(anti["c_custkey"]) == set(all_keys) - set(some)
+    assert len(semi) + len(anti) == len(all_keys)
