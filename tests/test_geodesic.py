@@ -89,9 +89,33 @@ def test_vincenty_adversarial():
     # near-pole
     d, _, _ = vincenty_inverse(0.0, 89.9, 90.0, 89.9)
     assert 0 < d < 30000
-    # near-antipodal: must not blow up (falls back to last iterate)
-    d, _, _ = vincenty_inverse(0.0, 0.0, 179.6, 0.4)
+    # near-antipodal: refined via the direct problem — must land on target
+    d, a12, _ = vincenty_inverse(0.0, 0.0, 179.6, 0.4)
     assert np.isfinite(d) and d > 1.9e7
+    lo, la, _ = vincenty_direct(0.0, 0.0, a12, d)
+    assert abs(((lo - 179.6 + 180) % 360) - 180) < 1e-9 and abs(la - 0.4) < 1e-9
+
+
+def test_vincenty_antipodal_refinement():
+    """True antipodal band: classic Vincenty diverges; the Newton-on-direct
+    refinement must return a geodesic that lands on the target (the defining
+    property of the inverse problem) at ~half-circumference length."""
+    rng = np.random.default_rng(0)
+    n = 60
+    lon1 = rng.uniform(-180, 180, n)
+    lat1 = rng.uniform(-80, 80, n)
+    lon2 = ((lon1 + 180 + rng.uniform(-0.05, 0.05, n)) + 180) % 360 - 180
+    lat2 = np.clip(-lat1 + rng.uniform(-0.05, 0.05, n), -89.9, 89.9)
+    d, a12, _ = vincenty_inverse(lon1, lat1, lon2, lat2)
+    lo, la, _ = vincenty_direct(lon1, lat1, a12, d)
+    err = np.hypot((lo - lon2 + 180) % 360 - 180, la - lat2)
+    assert err.max() < 1e-9
+    assert np.all(d > 1.98e7) and np.all(d < 2.01e7)  # ~half circumference
+    # exactly antipodal
+    d0, a0, _ = vincenty_inverse(np.array([10.0]), np.array([30.0]),
+                                 np.array([-170.0]), np.array([-30.0]))
+    lo, la, _ = vincenty_direct(10.0, 30.0, a0, d0)
+    assert abs(lo[0] + 170.0) < 1e-9 and abs(la[0] + 30.0) < 1e-9
 
 
 def test_vincenty_direct_matches_sphere_when_f_zero():
