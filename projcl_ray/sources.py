@@ -74,4 +74,10 @@ def read_tile_buckets(out_dir: str, cells: np.ndarray, *, n_buckets: int = 64) -
     wanted = sorted({int(c) % n_buckets for c in np.asarray(cells).ravel()})
     paths = [os.path.join(out_dir, f"bucket={b}") for b in wanted]
     paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:  # no matching buckets on disk → empty, typed by any bucket
+        any_bucket = [os.path.join(out_dir, d) for d in os.listdir(out_dir)
+                      if d.startswith("bucket=")]
+        if not any_bucket:
+            raise FileNotFoundError(f"no bucket dirs under {out_dir}")
+        return rd.read_parquet(any_bucket[:1]).limit(0)
     return rd.read_parquet(paths)
