@@ -847,3 +847,30 @@ def semi_join_keys(
         return {k: np.asarray(v)[mask] for k, v in batch.items()}
 
     return ds.map_batches(_filter, batch_format="numpy", batch_size=batch_size)
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fraction: float,
+    *,
+    seed: int = 1,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic, reproducible sampling by key hash (Knuth multiplicative
+    hashing on the integer key): a row is kept iff
+    ``(key * 2654435761 + seed) mod 2^32 < fraction * 2^32``.
+
+    Unlike ``ds.random_sample`` this is (a) stable across runs/cluster sizes,
+    (b) consistent for equal keys (all rows of a key are kept or dropped
+    together — sampling by GROUP, the usual requirement for training-data
+    splits), and (c) integer-exact, so reproducible in SQL."""
+    threshold = np.uint64(int(fraction * 4294967296.0))
+
+    def _sample(batch: dict) -> dict:
+        keys = np.asarray(batch[key_col]).astype(np.uint64)
+        h = (keys * np.uint64(2654435761) + np.uint64(seed)) % np.uint64(4294967296)
+        mask = h < threshold
+        return {k: np.asarray(v)[mask] for k, v in batch.items()}
+
+    return ds.map_batches(_sample, batch_format="numpy", batch_size=batch_size)

@@ -1157,3 +1157,24 @@ def q_semi_join(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     out = ops.semi_join_keys(cust, okeys, "c_custkey")
     return out.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+@q(
+    "deterministic_sample_10pct",
+    """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(floor(SUM(o_totalprice)*100.0 + 0.5) AS BIGINT) AS sum_cents
+FROM orders
+WHERE (o_orderkey * 2654435761 + 1) % 4294967296 < CAST(0.1 * 4294967296.0 AS BIGINT)
+GROUP BY o_orderpriority
+""",
+)
+def q_det_sample(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = ops.deterministic_sample(ds, "o_orderkey", 0.1, seed=1)
+    agg = out.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_cents")
+    ).to_pandas()
+    agg["sum_cents"] = np.floor(agg["sum_cents"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return agg

@@ -120,3 +120,19 @@ def test_semi_anti_join_keys(ray_session, sf_dir):
     assert set(semi["c_custkey"]) == set(some)
     assert set(anti["c_custkey"]) == set(all_keys) - set(some)
     assert len(semi) + len(anti) == len(all_keys)
+
+
+def test_deterministic_sample_properties(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    n_total = ds.count()
+    a = ops.deterministic_sample(ds, "o_orderkey", 0.2, seed=1).to_pandas()
+    b = ops.deterministic_sample(ds, "o_orderkey", 0.2, seed=1).to_pandas()
+    c = ops.deterministic_sample(ds, "o_orderkey", 0.2, seed=2).to_pandas()
+    assert set(a["o_orderkey"]) == set(b["o_orderkey"])  # stable across runs
+    assert set(a["o_orderkey"]) != set(c["o_orderkey"])  # seed changes the split
+    assert 0.1 * n_total < len(a) < 0.3 * n_total  # ~fraction
+    # fraction monotonicity: a 10% sample is a subset of the 20% sample
+    small = ops.deterministic_sample(ds, "o_orderkey", 0.1, seed=1).to_pandas()
+    assert set(small["o_orderkey"]) <= set(a["o_orderkey"])
