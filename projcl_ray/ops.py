@@ -869,7 +869,8 @@ def deterministic_sample(
 
     def _sample(batch: dict) -> dict:
         keys = np.asarray(batch[key_col]).astype(np.uint64)
-        h = (keys * np.uint64(2654435761) + np.uint64(seed)) % np.uint64(4294967296)
+        mixed = keys + np.uint64(seed) * np.uint64(2654435769)
+        h = (mixed * np.uint64(2654435761)) % np.uint64(4294967296)
         mask = h < threshold
         return {k: np.asarray(v)[mask] for k, v in batch.items()}
 
