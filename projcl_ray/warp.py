@@ -29,8 +29,15 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from functools import lru_cache
+
 from .proj import PreparedProjection, ProjParams, prepare
 from . import datums
+
+
+@lru_cache(maxsize=256)
+def _prepare_cached(name: str, params: ProjParams) -> PreparedProjection:
+    return prepare(name, params)
 
 
 def dest_grid(origin_x: float, origin_y: float, size_x: float, size_y: float,
@@ -154,6 +161,31 @@ class GeoRef:
             self.lat0 - self.px_deg * (h - 1),
             self.lat0,
         )
+
+
+@dataclass(frozen=True)
+class ProjectedGeoRef:
+    """Georeference of a raster stored IN a projection: pixel (col,row) center
+    ↦ projected coords (x0p + px_m·col, y0p − px_m·row). This is the
+    reference's full 8-step source case (projcl_warp.h:30-82): dest grid →
+    inverse-project → geographic → FORWARD-project into the source projection
+    → affine to source pixels (pl_project_grid_forward + pl_transform_grid)."""
+
+    proj_name: str
+    params: ProjParams
+    x0p: float  # projected coords of pixel (0,0) center
+    y0p: float
+    px_m: float  # projected units per pixel
+
+    def prepared(self) -> PreparedProjection:
+        return _prepare_cached(self.proj_name, self.params)
+
+    def to_pixels(self, lon: np.ndarray, lat: np.ndarray, prepped=None):
+        if prepped is None:
+            prepped = self.prepared()
+        with np.errstate(all="ignore"):
+            sx, sy = prepped.forward(lon, lat)
+        return (sx - self.x0p) / self.px_m, (self.y0p - sy) / self.px_m
 
 
 @dataclass(frozen=True)

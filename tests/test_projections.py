@@ -219,3 +219,20 @@ def test_longitude_wrap_mod_pi():
     x, y = p2.forward(np.array([179.0, -179.0]), np.array([0.0, 0.0]))
     lon2, _ = p2.inverse(x, y)
     np.testing.assert_allclose(lon2, [179.0, -179.0], atol=1e-9)
+
+
+def test_pole_clamp_albers_ellipsoidal():
+    """Albers ellipsoidal inverse pole clamp: |ec − |q|| ≤ tol → φ = ±π/2
+    (kernel select, pl_project_albers_equal_area.opencl:157)."""
+    p = prepare("albers_equal_area", spheroid="WGS_84", rlat1=30, rlat2=60)
+    x, y = p.forward(np.array([0.0, 20.0]), np.array([90.0, -90.0]))
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lat2, [90.0, -90.0], atol=1e-6)
+    # LAEA at the exact antipode of the center is mathematically undefined
+    # (the point maps to the entire boundary circle); like the reference
+    # kernel, the forward yields non-finite output there — and only there
+    q = prepare("lambert_azimuthal_equal_area", spheroid="SPHERE", lat0=0.0, lon0=0.0)
+    x, y = q.forward(np.array([180.0, 179.999]), np.array([0.0, 0.0]))
+    assert not np.isfinite(x[0])          # exact antipode: undefined
+    assert np.isfinite(x[1]) and np.isfinite(y[1])  # anything else: fine

@@ -172,3 +172,36 @@ def test_pipeline_matches_checked_in_goldens():
             g = goldens[f"{proj}_{seed}_{filt}"]
             p = psnr(got, g)
             assert p >= 50.0, (proj, seed, filt, p)
+
+
+def test_projected_source_identity_warp():
+    """Full 8-step path with a source image stored IN a projection
+    (projcl_warp.h:30-82): dest grid → inverse → geographic → forward into the
+    SOURCE projection → pixels. Warping a Mercator-stored image into the same
+    Mercator window must reproduce the source exactly (south-up row order)."""
+    from projcl_ray.warp import ProjectedGeoRef
+
+    img = synth_pixels(6, 80, 64)
+    src = prepare("mercator", ProjParams(spheroid="WGS_84"))
+    x0, y0 = src.forward(np.array([10.0]), np.array([50.0]))
+    px_m = 800.0
+    pref = ProjectedGeoRef("mercator", ProjParams(spheroid="WGS_84"),
+                           float(x0[0]), float(y0[0]), px_m)
+    # dest window = exactly the source pixel lattice (row 0 = min y → south-up)
+    spec = WarpSpec(
+        "mercator", ProjParams(spheroid="WGS_84"),
+        float(x0[0]), float(y0[0]) - 63 * px_m, 79 * px_m, 63 * px_m,
+        80, 64, filter="bilinear",
+    )
+    out = warp_image(img, pref, spec)
+    np.testing.assert_allclose(out, img[::-1].astype(np.float32), atol=0.51)
+    # and a cross-projection warp covers most of the canvas without NaNs
+    params = ProjParams(spheroid="WGS_84", rlat1=30, rlat2=60)
+    dst = prepare("albers_equal_area", params)
+    gx, gy = np.meshgrid(np.array([0, 79.0]), np.array([0, 63.0]))
+    lon_c, lat_c = src.inverse(float(x0[0]) + gx * px_m, float(y0[0]) - gy * px_m)
+    ex, ey = dst.forward(lon_c, lat_c)
+    spec2 = WarpSpec("albers_equal_area", params, float(ex.min()), float(ey.min()),
+                     float(ex.max() - ex.min()), float(ey.max() - ey.min()), 80, 64)
+    out2 = warp_image(img, pref, spec2)
+    assert np.all(np.isfinite(out2)) and (out2[..., 3] > 0).mean() > 0.7
