@@ -1178,3 +1178,32 @@ def q_det_sample(sf_dir: str):
     ).to_pandas()
     agg["sum_cents"] = np.floor(agg["sum_cents"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return agg
+
+
+@q("warp_projected_source")  # pixel op — rows-only; exactness gate in pytest
+def q_warp_projected_source(sf_dir: str):
+    """Warp Mercator-STORED source images into Albers (the reference's full
+    8-step recipe incl. the forward-projection leg)."""
+    from .images import synth_pixels, encode_image, decode_image
+    from .warp import ProjectedGeoRef, WarpSpec, warp_image
+    from .proj import prepare
+
+    src = prepare("mercator", ProjParams(spheroid="WGS_84"))
+    params = ProjParams(spheroid="WGS_84", rlat1=30, rlat2=60)
+    dst = prepare("albers_equal_area", params)
+    rows = []
+    for i in range(8):
+        img = synth_pixels(100 + i, 64, 64)
+        x0, y0 = src.forward(np.array([5.0 + 3 * i]), np.array([45.0 + i]))
+        pref = ProjectedGeoRef("mercator", ProjParams(spheroid="WGS_84"),
+                               float(x0[0]), float(y0[0]), 800.0)
+        gx, gy = np.meshgrid(np.array([0, 63.0]), np.array([0, 63.0]))
+        lon_c, lat_c = src.inverse(float(x0[0]) + gx * 800.0, float(y0[0]) - gy * 800.0)
+        ex, ey = dst.forward(lon_c, lat_c)
+        spec = WarpSpec("albers_equal_area", params, float(ex.min()), float(ey.min()),
+                        float(ex.max() - ex.min()), float(ey.max() - ey.min()), 64, 64)
+        out = np.clip(warp_image(img, pref, spec), 0, 255).astype(np.uint8)
+        rows.append({"image_id": f"psrc{i}", "bytes": encode_image(out),
+                     "w": 64, "h": 64, "fmt": "raw",
+                     "coverage": float((out[..., 3] > 0).mean())})
+    return pd.DataFrame(rows)
