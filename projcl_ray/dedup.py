@@ -47,10 +47,26 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     rows')."""
     hashed = add_content_hash(ds, text_col)
 
-    def keep_first(group):
-        return group.sort_values(id_col).head(1)
+    # bounded-group shuffle (256 parts) with a vectorized per-part pandas
+    # dedup, instead of one Python map_groups call per distinct hash
+    n_parts = 256
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        hh = np.array(
+            [int(h[:8], 16) % n_parts for h in batch["content_hash"].to_pylist()],
+            np.int64,
+        )
+        return batch.append_column("dedup_part", pa.array(hh))
+
+    def keep_first(group):
+        g = group.sort_values(id_col, kind="stable")
+        return g.drop_duplicates("content_hash", keep="first").drop(columns=["dedup_part"])
+
+    return (
+        hashed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("dedup_part")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
