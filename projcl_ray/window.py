@@ -24,6 +24,24 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 
+def _combined_agg(assigned: rd.Dataset, key_col: str, value_col: str) -> rd.Dataset:
+    """Combiner for (key, window) aggregates: per-batch pandas groupby emits
+    one partial row per group per batch, then the global groupby sums the
+    partials — shrinks the shuffle by ~rows/groups-per-batch and keeps hot
+    windows from dominating it."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([key_col, "window_start"], as_index=False).agg(
+            pn=(value_col, "size"), ps=(value_col, "sum")
+        )
+        return g
+
+    partials = assigned.map_batches(partial, batch_format="pandas")
+    return partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("pn", alias_name="n"), Sum("ps", alias_name="sum_value")
+    )
+
+
 def _ts_us(ts_col) -> np.ndarray:
     return np.asarray(ts_col, dtype="datetime64[us]").astype(np.int64)
 
@@ -46,9 +64,7 @@ def tumbling(
         batch["window_start"] = ((us // size_us) * size_us).astype("datetime64[us]")
         return batch
 
-    return ds.map_batches(assign, batch_format="pandas").groupby(
-        [key_col, "window_start"]
-    ).aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+    return _combined_agg(ds.map_batches(assign, batch_format="pandas"), key_col, value_col)
 
 
 def sliding(
@@ -82,9 +98,7 @@ def sliding(
             }
         )
 
-    return ds.map_batches(fan, batch_format="pandas").groupby(
-        [key_col, "window_start"]
-    ).aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+    return _combined_agg(ds.map_batches(fan, batch_format="pandas"), key_col, value_col)
 
 
 def sessionize(
