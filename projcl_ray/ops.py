@@ -500,14 +500,15 @@ class KnnActor:
             order = np.argsort(cells, kind="stable")
             kk = min(self.k, len(self.tgt_ids))
             max_ring = int(180.0 / self.res) + 1
+            warm_ring = 1  # adjacent cells need similar rings — warm start
             for cell in np.unique(cells):
                 qi = order[np.searchsorted(cells[order], cell, "left"):
                            np.searchsorted(cells[order], cell, "right")]
-                ring = 1
+                ring = max(1, warm_ring - 1)
                 while True:
                     cand = self._candidates(int(cell), ring)
                     if len(cand) < kk and ring < max_ring:
-                        ring += 1
+                        ring = min(max(ring + 1, int(ring * 1.7)), max_ring)
                         continue
                     ci, cd = spatial_mod.knn_brute(
                         lon[qi], lat[qi], self.tgt_lon[cand], self.tgt_lat[cand], kk
@@ -526,7 +527,8 @@ class KnnActor:
                     bound_m = (ring - 1) * self.res * mpd * (2.0 / np.pi)
                     if float(cd[:, -1].max()) <= bound_m:
                         break
-                    ring += 1
+                    ring = min(max(ring + 1, int(ring * 1.4)), max_ring)
+                warm_ring = ring
                 idx[qi] = cand[ci]
                 dist[qi] = cd
         n, k = idx.shape
