@@ -117,25 +117,49 @@ def sessionize(
     lives inside the keyed group); skewed keys are bounded by per-user volume.
     """
     gap_us = int(gap_s * 1_000_000)
+    n_parts = 256  # bounded groups: one vectorized pandas pass per part,
+    # not one Python call per user (millions of users = millions of calls)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["sess_part"] = (
+            (batch[key_col].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return batch
+
+    def sessions_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="stable")
         us = _ts_us(g[ts_col])
+        keys = g[key_col].to_numpy()
         new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
-        out = []
-        for s in np.unique(sid):
-            sel = sid == s
-            out.append(
+        new_session[1:] = (keys[1:] != keys[:-1]) | ((us[1:] - us[:-1]) > gap_us)
+        sid = np.cumsum(new_session)
+        agg = (
+            pd.DataFrame(
                 {
-                    key_col: g[key_col].iloc[0],
-                    "session_start": us[sel].min().astype("datetime64[us]"),
-                    "session_end": us[sel].max().astype("datetime64[us]"),
-                    "n": int(sel.sum()),
-                    "sum_value": float(g[value_col].to_numpy()[sel].sum()),
+                    "sid": sid,
+                    key_col: keys,
+                    "_us": us,
+                    value_col: g[value_col].to_numpy(),
                 }
             )
-        return pd.DataFrame(out)
+            .groupby("sid", sort=False)
+            .agg(
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start": ("_us", "min"),
+                    "session_end": ("_us", "max"),
+                    "n": (value_col, "size"),
+                    "sum_value": (value_col, "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        agg["session_start"] = agg["session_start"].astype("datetime64[us]")
+        agg["session_end"] = agg["session_end"].astype("datetime64[us]")
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    parted = ds.map_batches(add_part, batch_format="pandas")
+    return parted.groupby("sess_part").map_groups(sessions_part, batch_format="pandas")
