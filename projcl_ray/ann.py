@@ -89,9 +89,11 @@ def ann_brute_topk(
     partials = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
 
     def merge_topk(group):
-        return group.nlargest(k, "score").sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).assign(rank=np.arange(min(k, len(group)), dtype=np.int32))
+        # (score desc, id asc) BEFORE cutting at k: a tie at the k boundary
+        # must keep the lower id, matching the oracle's ROW_NUMBER ordering
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True],
+                              kind="stable").head(k)
+        return g.assign(rank=np.arange(len(g), dtype=np.int32))
 
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
@@ -110,7 +112,9 @@ def cosine_dup_pairs(
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(batch[emb_col]))
+        # float64: this exact path doubles as the SQL-oracle query, where a
+        # float32 score within ulps of the threshold could flip membership
+        m = _normalize(_to_matrix(batch[emb_col]).astype(np.float64))
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = sims[iu, ju] >= threshold
@@ -137,6 +141,7 @@ def cosine_dup_pairs_lsh(
     dim: int | None = None,
     seed: int = 7,
     max_bucket: int = 512,
+    n_parts: int | None = None,
     batch_size: int | None = 4096,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup at scale: sign-of-random-projection LSH.
@@ -151,11 +156,17 @@ def cosine_dup_pairs_lsh(
     threshold are EXACT (verified). ``max_bucket`` guards hot buckets (a
     too-coarse table for the corpus) like the MinHash path.
     """
+    from .ops import _adaptive_parts, hash_key_u64
+
     rng = np.random.default_rng(seed)
     if dim is None:
         first = ds.take(1)[0][emb_col]
         dim = len(first)
     planes = rng.normal(size=(n_tables, bits, dim)).astype(np.float32)
+    if n_parts is None:
+        # each (table, bucket, id, embedding) row lands in one part; size the
+        # part count so a part's verification frame stays ~constant-sized
+        n_parts = _adaptive_parts(ds.count() * n_tables, rows_per_part=100_000)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -184,8 +195,6 @@ def cosine_dup_pairs_lsh(
     )
 
     # bounded-group partition (as in minhash): vectorized per-part verification
-    n_parts = 256
-
     def add_part(batch: pa.Table) -> pa.Table:
         key = (
             batch["lsh_bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -222,11 +231,14 @@ def cosine_dup_pairs_lsh(
         verify, batch_format="pandas"
     )
 
-    # dedup pairs found in multiple tables (bounded groups, vectorized)
+    # dedup pairs found in multiple tables (bounded groups, vectorized,
+    # dtype-agnostic id hash — string/UUID ids work too)
+    pp_parts = max(64, n_parts // 4)
+
     def add_pp(batch: pa.Table) -> pa.Table:
-        a = np.asarray(pa.compute.cast(batch["id_a"], pa.int64()).to_numpy(zero_copy_only=False)).astype(np.uint64)
-        b = np.asarray(pa.compute.cast(batch["id_b"], pa.int64()).to_numpy(zero_copy_only=False)).astype(np.uint64)
-        return batch.append_column("pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(64)).astype(np.int64)))
+        a = hash_key_u64(batch["id_a"].to_numpy(zero_copy_only=False))
+        b = hash_key_u64(batch["id_b"].to_numpy(zero_copy_only=False))
+        return batch.append_column("pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(pp_parts)).astype(np.int64)))
 
     return (
         pairs.map_batches(add_pp, batch_format="pyarrow")
@@ -251,10 +263,20 @@ def ivf_assign(ds: ray.data.Dataset, centroids: np.ndarray, *,
 
 
 def train_centroids(ds: ray.data.Dataset, n_centroids: int, *,
-                    emb_col: str = "embedding", sample_rows: int = 4096,
-                    iters: int = 5, seed: int = 0) -> np.ndarray:
-    """Mini k-means on a driver-side sample (the sample is small by design)."""
-    sample = ds.limit(sample_rows).to_pandas()
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    sample_rows: int = 4096, iters: int = 5, seed: int = 0) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the sample is small by design).
+
+    The sample is a deterministic key-hash sample (NOT ``ds.limit()``, whose
+    row selection depends on block order) so trained centroids — and every
+    IVF result derived from them — are stable across runs and cluster sizes."""
+    from .ops import deterministic_sample
+
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = deterministic_sample(
+        ds.select_columns([id_col, emb_col]), id_col, frac, seed=seed + 1
+    ).to_pandas()
     m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     c = m[rng.choice(len(m), min(n_centroids, len(m)), replace=False)]

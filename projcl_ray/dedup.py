@@ -38,18 +38,30 @@ def add_content_hash(ds: ray.data.Dataset, text_col: str = "text",
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
+                id_col: str = "doc_id", *, keep_payload: bool = False,
+                n_parts: int | None = None) -> ray.data.Dataset:
     """Keep the min-id row per identical content hash.
 
-    Shuffle carries only (hash, id) — the dedup decision joins back by id
-    semi-join-style via a broadcastable keep-set when small, or stays as the
-    grouped projection here (payload-free groupby, SURVEY §7 'Wide binary
-    rows')."""
+    Default (``keep_payload=False``): a NATIVE Ray aggregate
+    ``groupby(content_hash).min(id)`` — the shuffle carries only (hash, id)
+    pairs and no pandas group is ever materialized, so per-worker memory is
+    flat in corpus size (Ray's sort-based aggregate spills as needed).
+    Returns (content_hash, id) rows; recover payloads with a semi-join on id.
+
+    ``keep_payload=True``: full rows flow through a bounded-group shuffle
+    whose part count scales with corpus size (``n_parts`` adaptive from
+    ``ds.count()`` unless given) so a part stays ~constant-sized."""
     hashed = add_content_hash(ds, text_col)
 
-    # bounded-group shuffle (256 parts) with a vectorized per-part pandas
-    # dedup, instead of one Python map_groups call per distinct hash
-    n_parts = 256
+    if not keep_payload:
+        from ray.data.aggregate import Min
+
+        return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+
+    from .ops import _adaptive_parts, hash_key_u64
+
+    if n_parts is None:
+        n_parts = _adaptive_parts(ds.count())
 
     def add_part(batch: pa.Table) -> pa.Table:
         hh = np.array(
@@ -139,6 +151,7 @@ def minhash_lsh_candidates(
     k_shingle: int = 5,
     seed: int = 1,
     max_bucket: int = 128,
+    n_parts: int | None = None,
     concurrency: int | tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
     """MinHash → banded LSH: emit (band_id, band_hash, doc_id) rows, group by
@@ -151,7 +164,11 @@ def minhash_lsh_candidates(
     the corpus (tune bands/rows), and at 100 TB an unguarded hot bucket is a
     straggler that stalls the whole shuffle."""
     rows_per_band = num_perm // bands
-    from .ops import _cached
+    from .ops import _adaptive_parts, _cached, hash_key_u64
+
+    if n_parts is None:
+        # one part ≈ 200k (band, bucket, id) rows regardless of corpus size
+        n_parts = _adaptive_parts(ds.count() * bands)
 
     def _sig(batch):
         worker = _cached(("minhash", num_perm, k_shingle, seed, text_col, id_col),
@@ -187,8 +204,8 @@ def minhash_lsh_candidates(
     # bucket key) so the shuffle has ~n_parts groups instead of one per bucket
     # — per-group Python overhead over millions of tiny buckets dominates
     # otherwise. Within each part, pair emission is one vectorized pandas
-    # self-merge on the exact bucket key.
-    n_parts = 256
+    # self-merge on the exact bucket key. n_parts scales with corpus size
+    # (see _adaptive_parts) so one part's pandas frame stays ~constant.
 
     def add_part(batch: pa.Table) -> pa.Table:
         bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -213,12 +230,15 @@ def minhash_lsh_candidates(
     pairs = parted.groupby("part").map_groups(emit_pairs, batch_format="pandas")
 
     # global dedup of pairs found in multiple bands: again a bounded-group
-    # partition + vectorized drop_duplicates per group
+    # partition + vectorized drop_duplicates per group (dtype-agnostic key
+    # hash: string/UUID ids work too)
+    pp_parts = max(64, n_parts // 4)
+
     def add_pair_part(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = hash_key_u64(batch["id_a"].to_numpy(zero_copy_only=False))
+        b = hash_key_u64(batch["id_b"].to_numpy(zero_copy_only=False))
         return batch.append_column(
-            "pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(64)).astype(np.int64))
+            "pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(pp_parts)).astype(np.int64))
         )
 
     return (

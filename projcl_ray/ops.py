@@ -57,6 +57,30 @@ def _cached(key, builder):
     return got
 
 
+def hash_key_u64(arr) -> np.ndarray:
+    """Dtype-agnostic, process-stable 64-bit key hash for partitioning and
+    sampling. Integer keys pass through UNCHANGED (so integer-key behavior is
+    reproducible in SQL); strings/UUIDs/other dtypes hash via
+    ``pandas.util.hash_array`` (fixed-key siphash, deterministic across
+    processes and runs)."""
+    a = np.asarray(arr)
+    if np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.uint64)
+    import pandas as pd
+
+    if not isinstance(a, np.ndarray) or a.dtype.kind not in "OUSV":
+        a = np.asarray(a, dtype=object)
+    return pd.util.hash_array(a, categorize=False).astype(np.uint64)
+
+
+def _adaptive_parts(n_rows: int, rows_per_part: int = 200_000,
+                    minimum: int = 64, maximum: int = 1 << 16) -> int:
+    """Bounded-group shuffle sizing: one part ≈ ``rows_per_part`` rows, so
+    per-part worker memory stays constant as the corpus grows (the fixed
+    n_parts=256 pattern grew per-part memory linearly with corpus size)."""
+    return int(min(maximum, max(minimum, -(-int(n_rows) // rows_per_part))))
+
+
 # ---------------------------------------------------------------------------
 # Projections & datum shifts (stateless vectorized stages)
 # ---------------------------------------------------------------------------
@@ -480,7 +504,10 @@ class KnnActor:
             self._order = order
 
     def _candidates(self, cell: int, ring: int) -> np.ndarray:
-        nbrs = index_mod.cell_neighbors(np.array([cell]), self.res, ring=ring)[0]
+        # cell_neighbors lat-clamps at polar rows and lon-wraps when
+        # 2*ring+1 >= nx, which yields DUPLICATE cells; dedupe so no target
+        # can occupy two top-k ranks (and none is shadowed by a duplicate).
+        nbrs = np.unique(index_mod.cell_neighbors(np.array([cell]), self.res, ring=ring)[0])
         lo = np.searchsorted(self._sorted_cells, nbrs, side="left")
         hi = np.searchsorted(self._sorted_cells, nbrs, side="right")
         return np.concatenate([self._order[a:b] for a, b in zip(lo, hi) if b > a]) \
@@ -490,7 +517,8 @@ class KnnActor:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         if self.res is None:
-            idx, dist = spatial_mod.knn_brute(lon, lat, self.tgt_lon, self.tgt_lat, self.k)
+            idx, dist = spatial_mod.knn_brute(lon, lat, self.tgt_lon, self.tgt_lat, self.k,
+                                              order_key=self.tgt_ids)
         else:
             n = len(lon)
             idx = np.empty((n, min(self.k, len(self.tgt_ids))), np.int64)
@@ -511,7 +539,8 @@ class KnnActor:
                         ring = min(max(ring + 1, int(ring * 1.7)), max_ring)
                         continue
                     ci, cd = spatial_mod.knn_brute(
-                        lon[qi], lat[qi], self.tgt_lon[cand], self.tgt_lat[cand], kk
+                        lon[qi], lat[qi], self.tgt_lon[cand], self.tgt_lat[cand], kk,
+                        order_key=self.tgt_ids[cand],
                     )
                     if ring >= max_ring:
                         break
@@ -841,14 +870,16 @@ def semi_join_keys(
     At 100 TB scale swap the exact set for a Bloom filter — same plumbing."""
     ref = ray.put(np.unique(np.asarray(keys)))
 
-    def _filter(batch: dict) -> dict:
+    def _filter(batch: pa.Table) -> pa.Table:
         keyset = _cached(("semijoin", ref.hex()), lambda: ray.get(ref))
         mask = np.isin(np.asarray(batch[key_col]), keyset)
         if anti:
             mask = ~mask
-        return {k: np.asarray(v)[mask] for k, v in batch.items()}
+        # Table.filter keeps the typed schema on empty results (no
+        # empty-block schema-mismatch warnings downstream)
+        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(_filter, batch_format="numpy", batch_size=batch_size)
+    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size)
 
 
 def deterministic_sample(
@@ -869,11 +900,11 @@ def deterministic_sample(
     splits), and (c) integer-exact, so reproducible in SQL."""
     threshold = np.uint64(int(fraction * 4294967296.0))
 
-    def _sample(batch: dict) -> dict:
-        keys = np.asarray(batch[key_col]).astype(np.uint64)
+    def _sample(batch: pa.Table) -> pa.Table:
+        keys = hash_key_u64(np.asarray(batch[key_col]))
         mixed = keys + np.uint64(seed) * np.uint64(2654435769)
         h = (mixed * np.uint64(2654435761)) % np.uint64(4294967296)
-        mask = h < threshold
-        return {k: np.asarray(v)[mask] for k, v in batch.items()}
+        # Table.filter keeps the typed schema on empty results
+        return batch.filter(pa.array(h < threshold))
 
-    return ds.map_batches(_sample, batch_format="numpy", batch_size=batch_size)
+    return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)

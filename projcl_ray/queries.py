@@ -1165,7 +1165,7 @@ def q_semi_join(sf_dir: str):
 SELECT o_orderpriority, COUNT(*) AS n,
   CAST(floor(SUM(o_totalprice)*100.0 + 0.5) AS BIGINT) AS sum_cents
 FROM orders
-WHERE ((o_orderkey + 1 * 2654435769) * 2654435761) % 4294967296 < CAST(0.1 * 4294967296.0 AS BIGINT)
+WHERE ((CAST(o_orderkey AS HUGEINT) + 1 * 2654435769) * 2654435761) % 4294967296 < CAST(0.1 * 4294967296.0 AS BIGINT)
 GROUP BY o_orderpriority
 """,
 )

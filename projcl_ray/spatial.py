@@ -59,17 +59,34 @@ def make_convex_polygon(center_lon: float, center_lat: float, radius_deg: float,
     )
 
 
-def knn_brute(qlon, qlat, plon, plat, k: int, radius: float | None = None):
+def knn_brute(qlon, qlat, plon, plat, k: int, radius: float | None = None,
+              order_key: np.ndarray | None = None):
     """Brute-force k nearest candidate points per query by haversine distance.
 
     Returns (indices (nq, k), distances (nq, k)). Used per-cell after the
     ring-of-cells candidate join; also the oracle for the distributed path.
+
+    Ties in distance break by ``order_key`` (one key per target point — pass
+    the target IDS to match SQL's ``ORDER BY dist, id``); defaults to target
+    position. Duplicate target locations therefore rank deterministically at
+    any scale factor.
     """
     d = haversine_matrix(qlon, qlat, plon, plat) if radius is None else haversine_matrix(
         qlon, qlat, plon, plat, radius
     )
+    key = np.arange(d.shape[1]) if order_key is None else np.asarray(order_key)
     k = min(k, d.shape[1])
     idx = np.argpartition(d, k - 1, axis=1)[:, :k]
     dd = np.take_along_axis(d, idx, axis=1)
-    order = np.argsort(dd, axis=1, kind="stable")
-    return np.take_along_axis(idx, order, axis=1), np.take_along_axis(dd, order, axis=1)
+    order = np.lexsort((key[idx], dd), axis=1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    dd = np.take_along_axis(dd, order, axis=1)
+    # ties AT the k boundary: argpartition picks an arbitrary member of the
+    # tie group, so when more than k candidates are <= the k-th distance,
+    # re-select those (rare) rows with the full (distance, key) order
+    tied = np.nonzero((d <= dd[:, -1:]).sum(axis=1) > k)[0]
+    for r in tied:
+        full = np.lexsort((key, d[r]))[:k]
+        idx[r] = full
+        dd[r] = d[r, full]
+    return idx, dd

@@ -108,6 +108,7 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Session windows: within each key's ts-sorted group, a new session starts
     when the gap to the previous event exceeds ``gap_s``. Emits one row per
@@ -115,15 +116,21 @@ def sessionize(
 
     The per-key group is the unit of state (SURVEY §2.7: incremental state
     lives inside the keyed group); skewed keys are bounded by per-user volume.
+    Keys may be any dtype (integer ids hash as themselves; strings/UUIDs via
+    a stable siphash). ``n_parts`` scales with input size unless given, so a
+    part's in-worker frame stays ~constant as the log grows.
     """
+    from .ops import _adaptive_parts, hash_key_u64
+
     gap_us = int(gap_s * 1_000_000)
-    n_parts = 256  # bounded groups: one vectorized pandas pass per part,
-    # not one Python call per user (millions of users = millions of calls)
+    if n_parts is None:  # bounded groups: one vectorized pandas pass per part,
+        # not one Python call per user (millions of users = millions of calls)
+        n_parts = _adaptive_parts(ds.count())
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["sess_part"] = (
-            (batch[key_col].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            (hash_key_u64(batch[key_col].to_numpy()) * np.uint64(2654435761))
             % np.uint64(n_parts)
         ).astype(np.int64)
         return batch

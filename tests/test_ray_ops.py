@@ -231,3 +231,44 @@ def test_warp_and_tile_actor_mode_matches_task_mode(ray_session):
     assert len(t) == len(a)
     assert (t["cell_id"] == a["cell_id"]).all()
     assert all(tb == ab for tb, ab in zip(t["bytes"], a["bytes"]))  # bit-identical pixels
+
+
+def test_knn_pruned_polar_rows_no_duplicates(ray_session):
+    """cell_neighbors lat-clamps at polar rows (and lon-wraps on wide rings),
+    yielding DUPLICATE cells: the pruned path must not rank one target twice
+    nor shadow a true neighbor (round-1 advice repro: query at lat -88)."""
+    import ray.data as rd
+
+    from projcl_ray.spatial import knn_brute
+
+    rng = np.random.default_rng(9)
+    qlon = rng.uniform(-170.0, 170.0, 40)
+    qlat = np.concatenate([rng.uniform(-89.9, -80.0, 20), rng.uniform(80.0, 89.9, 20)])
+    t_ids = np.arange(30)
+    t_lon = rng.uniform(-180.0, 180.0, 30)
+    t_lat = rng.uniform(-90.0, 90.0, 30)
+    ds = rd.from_items(
+        [{"qid": i, "lon": float(qlon[i]), "lat": float(qlat[i])} for i in range(40)]
+    )
+    out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=3, prune_res_deg=10.0).to_pandas()
+    assert int(out.groupby("qid")["neighbor_id"].nunique().min()) == 3  # no dup ranks
+    got = out.sort_values(["qid", "neighbor_rank"]).reset_index(drop=True)
+    idx, exp = knn_brute(qlon, qlat, t_lon, t_lat, 3, order_key=t_ids)
+    np.testing.assert_allclose(got["distance_m"].to_numpy().reshape(-1, 3), exp, rtol=1e-12)
+    np.testing.assert_array_equal(got["neighbor_id"].to_numpy().reshape(-1, 3), t_ids[idx])
+
+
+def test_knn_tie_breaks_by_target_id(ray_session):
+    """Duplicate target locations must rank by id (SQL ORDER BY dist, id) in
+    both the brute and pruned paths — derived supplier coords repeat with
+    period 1200, so exact ties are real at larger scale factors."""
+    import ray.data as rd
+
+    t_lon = np.array([10.0, 10.0, 10.0, 50.0])
+    t_lat = np.array([20.0, 20.0, 20.0, 60.0])
+    t_ids = np.array([7, 3, 5, 1])
+    ds = rd.from_items([{"qid": 0, "lon": 10.5, "lat": 20.5}])
+    for res in (None, 10.0):
+        out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=3, prune_res_deg=res).to_pandas()
+        got = out.sort_values("neighbor_rank")["neighbor_id"].tolist()
+        assert got == [3, 5, 7], (res, got)
