@@ -264,16 +264,33 @@ def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash for many documents: ONE flat token-hash array for
+    the whole batch (md5 per *unique* token via the shared cache), bit votes
+    summed per-document with ``np.add.reduceat`` — no per-token Python in the
+    vote loop. Token hash = DuckDB md5_number_upper(tok), so the operator has
+    an exact SQL oracle."""
+    from .text import md5_token_hashes
+
+    toks = [t.split() for t in texts]
+    lens = np.array([len(t) for t in toks], np.int64)
+    flat = md5_token_hashes([w for ts in toks for w in ts])
+    acc = np.zeros((len(texts), 64), np.int64)
+    if flat.size:
+        votes = 2 * ((flat[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64) - 1
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nz = lens > 0  # reduceat misbehaves on empty segments
+        acc[nz] = np.add.reduceat(votes, offsets[nz], axis=0)
+    val = ((acc > 0).astype(np.uint64) << _SHIFTS64[None, :]).sum(axis=1, dtype=np.uint64)
+    return val.view(np.int64)  # two's-complement reinterpret
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5-based token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split():
-        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    val = int(((acc > 0).astype(np.uint64) * (np.uint64(1) << shifts)).sum(dtype=np.uint64))
-    return val - (1 << 64) if val >= (1 << 63) else val
+    return int(_simhash_batch([text])[0])
 
 
 def hamming64(a: int, b: int) -> int:
@@ -283,6 +300,8 @@ def hamming64(a: int, b: int) -> int:
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
                 out: str = "simhash") -> ray.data.Dataset:
     def _s(batch: pa.Table) -> pa.Table:
-        return batch.append_column(out, pa.array([simhash64(t) for t in batch[text_col].to_pylist()], pa.int64()))
+        return batch.append_column(
+            out, pa.array(_simhash_batch(batch[text_col].to_pylist()), pa.int64())
+        )
 
     return ds.map_batches(_s, batch_format="pyarrow")

@@ -473,7 +473,64 @@ def q_forward_geodesic(sf_dir: str):
     return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
 
 
-@q("vincenty_inverse_matrix")  # iterative — no SQL oracle (rows-only check)
+def _vincenty_oracle_sql(n_iter: int = 10) -> str:
+    """Vincenty's inverse problem unrolled as generated SQL: the λ fixed-point
+    iteration contracts by ~f·sinα ≈ 3e-3 per step, so ``n_iter=10`` is far
+    past double-precision convergence for the non-antipodal test corpus (max
+    separation ≈ 140°). Guards (sin σ = 0 coincident points, cos²α = 0
+    equatorial geodesics) mirror geodesic.vincenty_inverse exactly."""
+    info = get_spheroid("WGS_84")
+    a, b = info.major_axis, info.minor_axis
+    f = info.flattening
+    parts = [
+        f"WITH c AS ({CUST_PT}), s AS ({SUPP_PT}),",
+        "p AS (SELECT c.c_custkey, s.s_suppkey,"
+        " radians(c.lon) AS lam1, radians(c.lat) AS phi1,"
+        " radians(s.lon) AS lam2, radians(s.lat) AS phi2 FROM c CROSS JOIN s),",
+        f"q0 AS (SELECT c_custkey, s_suppkey, lam2 - lam1 AS L,"
+        f" (1.0 - {f!r})*tan(phi1) AS tU1, (1.0 - {f!r})*tan(phi2) AS tU2 FROM p),",
+        "q1 AS (SELECT *, 1.0/sqrt(1.0 + tU1*tU1) AS cU1, 1.0/sqrt(1.0 + tU2*tU2) AS cU2 FROM q0),",
+        "it0 AS (SELECT c_custkey, s_suppkey, L, cU1, cU2, tU1*cU1 AS sU1, tU2*cU2 AS sU2,"
+        " L AS lam FROM q1),",
+    ]
+    trig = (
+        "x{i} AS (SELECT c_custkey, s_suppkey, L, cU1, cU2, sU1, sU2, lam,"
+        " sin(lam) AS sl, cos(lam) AS cl FROM it{p}),"
+        " y{i} AS (SELECT *, sqrt((cU2*sl)*(cU2*sl)"
+        " + (cU1*sU2 - sU1*cU2*cl)*(cU1*sU2 - sU1*cU2*cl)) AS ss,"
+        " sU1*sU2 + cU1*cU2*cl AS cs FROM x{i}),"
+        " z{i} AS (SELECT *, atan2(ss, cs) AS sig,"
+        " CASE WHEN ss = 0.0 THEN 0.0 ELSE cU1*cU2*sl/ss END AS sa FROM y{i}),"
+        " w{i} AS (SELECT *, 1.0 - sa*sa AS c2a FROM z{i}),"
+        " v{i} AS (SELECT *, CASE WHEN c2a = 0.0 THEN 0.0"
+        " ELSE cs - 2.0*sU1*sU2/c2a END AS c2m,"
+        " {F}/16.0*c2a*(4.0 + {F}*(4.0 - 3.0*c2a)) AS cf FROM w{i}),"
+    )
+    for i in range(1, n_iter + 1):
+        parts.append(trig.format(i=i, p=i - 1, F=repr(f)))
+        parts.append(
+            f"it{i} AS (SELECT c_custkey, s_suppkey, L, cU1, cU2, sU1, sU2,"
+            f" L + (1.0-cf)*{f!r}*sa*(sig + cf*ss*(c2m + cf*cs*(-1.0 + 2.0*c2m*c2m))) AS lam"
+            f" FROM v{i}),"
+        )
+    n = n_iter + 1  # one more trig pass on the converged lam for the output
+    parts.append(trig.format(i=n, p=n - 1, F=repr(f)))
+    parts.append(
+        f"f1 AS (SELECT *, c2a*{a * a - b * b!r}/{b * b!r} AS uu FROM v{n}),"
+        " f2 AS (SELECT *, 1.0 + uu/16384.0*(4096.0 + uu*(-768.0 + uu*(320.0 - 175.0*uu))) AS fA,"
+        " uu/1024.0*(256.0 + uu*(-128.0 + uu*(74.0 - 47.0*uu))) AS fB FROM f1),"
+        " f3 AS (SELECT *, fB*ss*(c2m + 0.25*fB*(cs*(-1.0 + 2.0*c2m*c2m)"
+        " - fB/6.0*c2m*(-3.0 + 4.0*ss*ss)*(-3.0 + 4.0*c2m*c2m))) AS dsig FROM f2),"
+        f" f4 AS (SELECT c_custkey, s_suppkey, {b!r}*fA*(sig - dsig) AS dist,"
+        " degrees(atan2(cU2*sl, cU1*sU2 - sU1*cU2*cl)) AS a1 FROM f3)"
+        " SELECT c_custkey, s_suppkey, CAST(floor(dist) AS BIGINT) AS dist_m,"
+        " CAST(floor((CASE WHEN a1 < 0.0 THEN a1 + 360.0 ELSE a1 END) * 10000.0 + 0.5)"
+        " AS BIGINT) AS azi1_q FROM f4"
+    )
+    return "\n".join(parts)
+
+
+@q("vincenty_inverse_matrix", _vincenty_oracle_sql())
 def q_vincenty_matrix(sf_dir: str):
     cust = _customer_points(sf_dir)
     s_ids, s_lon, s_lat = _supplier_points(sf_dir)
@@ -488,7 +545,7 @@ def q_vincenty_matrix(sf_dir: str):
             "c_custkey": np.repeat(np.asarray(batch["c_custkey"]), m),
             "s_suppkey": np.tile(s_ids, n),
             "dist_m": np.floor(d.ravel()).astype(np.int64),
-            "azi1_q": np.floor(a12.ravel() * 1e4).astype(np.int64),
+            "azi1_q": np.floor(a12.ravel() * 1e4 + 0.5).astype(np.int64),
         }
 
     return cust.map_batches(cross, batch_format="numpy")
@@ -600,27 +657,114 @@ def q_token_count(sf_dir: str):
     )
 
 
-@q("text_quality_scores")  # heuristic composite — rows-only
+_STOP_ALL = sorted(frozenset().union(*text.STOPWORDS.values()))
+_STOP_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
+
+
+@q(
+    "text_quality_scores",
+    f"""
+WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+m AS (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tok,
+  len(list_filter(toks, x -> list_contains({_STOP_ALL_SQL}, lower(x)))) AS n_stop,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+  END AS mean_len FROM t),
+r AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio,
+  least(greatest(CAST(n_chars AS DOUBLE)/200.0, 0.0), 1.0)*0.4
+   + least(greatest(CAST(n_stop AS DOUBLE)/greatest(n_tok, 1)*5.0, 0.0), 1.0)*0.3
+   + least(greatest(1.0 - abs(mean_len - 5.0)/5.0, 0.0), 1.0)*0.3 AS quality FROM m)
+SELECT doc_id, n_tokens,
+  CAST(floor(stop_ratio*10000.0 + 0.5) AS BIGINT) AS stop_q,
+  CAST(floor(quality*10000.0 + 0.5) AS BIGINT) AS quality_q
+FROM r
+""",
+)
 def q_quality(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(text.QualityScoreActor, batch_format="pandas", concurrency=2)
-    return out.select_columns(["doc_id", "n_tokens", "stop_ratio", "quality"])
+    df = out.select_columns(["doc_id", "n_tokens", "stop_ratio", "quality"]).to_pandas()
+    df["stop_q"] = np.floor(df["stop_ratio"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    df["quality_q"] = np.floor(df["quality"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    return df[["doc_id", "n_tokens", "stop_q", "quality_q"]]
 
 
-@q("text_langid")  # heuristic — rows-only
+def _lang_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(text.STOPWORDS[lang])) + "]"
+
+
+@q(
+    "text_langid",
+    f"""
+WITH t AS (SELECT doc_id, lang, text,
+    list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words,
+    len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk FROM documents),
+c AS (SELECT doc_id, lang, text, n_cjk, len(words) AS nw,
+    len(list_filter(words, w -> list_contains({_lang_list_sql('en')}, w))) AS c_en,
+    len(list_filter(words, w -> list_contains({_lang_list_sql('es')}, w))) AS c_es,
+    len(list_filter(words, w -> list_contains({_lang_list_sql('de')}, w))) AS c_de,
+    len(list_filter(words, w -> list_contains({_lang_list_sql('fr')}, w))) AS c_fr FROM t)
+SELECT doc_id, lang,
+  CASE WHEN length(text) = 0 THEN 'und'
+       WHEN CAST(n_cjk AS DOUBLE) / greatest(length(text), 1) > 0.05 THEN 'zh'
+       WHEN nw = 0 THEN 'und'
+       WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+       WHEN c_de >= c_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM c
+""",
+)
 def q_langid(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     out = ds.map_batches(text.LangIdActor, batch_format="pandas", concurrency=2)
     return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
-@q("text_fingerprint")  # custom rolling hash — rows-only
+_I64_FLIP = "CAST(CASE WHEN uval IS NULL THEN 0 WHEN uval >= 9223372036854775808 THEN CAST(uval AS HUGEINT) - 18446744073709551616 ELSE CAST(uval AS HUGEINT) END AS BIGINT)"
+
+
+@q(
+    "text_fingerprint",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+  FROM documents),
+h AS (SELECT doc_id, pos, md5_number_upper(tok) AS hv FROM toks),
+meta AS (SELECT doc_id, COUNT(*) AS n, LEAST(8, COUNT(*)) AS w FROM h GROUP BY doc_id),
+wins AS (SELECT h1.doc_id, h1.pos, MIN(h2.hv) AS m
+  FROM h h1 JOIN meta ON meta.doc_id = h1.doc_id
+  JOIN h h2 ON h2.doc_id = h1.doc_id AND h2.pos BETWEEN h1.pos AND h1.pos + meta.w - 1
+  WHERE h1.pos <= meta.n - meta.w + 1
+  GROUP BY h1.doc_id, h1.pos),
+x AS (SELECT doc_id, bit_xor(DISTINCT m) AS uval FROM wins GROUP BY doc_id)
+SELECT d.doc_id, {_I64_FLIP} AS fingerprint
+FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
+""",
+)
 def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return text.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
 
-@q("dedup_simhash")  # rows-only
+@q(
+    "dedup_simhash",
+    f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+bits AS (SELECT doc_id, g.b AS b,
+    SUM(CASE WHEN (md5_number_upper(tok) >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM toks CROSS JOIN generate_series(0, 63) g(b) GROUP BY doc_id, g.b),
+v AS (SELECT doc_id,
+    SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS hval
+  FROM bits GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(hval AS UHUGEINT) AS uval FROM v)
+SELECT d.doc_id, {_I64_FLIP} AS simhash
+FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
+""",
+)
 def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup.add_simhash(ds).select_columns(["doc_id", "simhash"])
@@ -668,12 +812,24 @@ def q_ann_ivf(sf_dir: str):
     return ann.ivf_topk(ds, q_ids, q_mat, k=5, centroids=cents, nprobe=4)
 
 
-@q("ann_cosine_neardup")  # rows-only
+@q(
+    "ann_cosine_neardup",
+    """
+WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(floor(score*10000.0 + 0.5) AS BIGINT) AS score_q
+FROM p WHERE score >= 0.4
+""",
+)
 def q_cosine_dup(sf_dir: str):
     # the synthetic embeddings are near-random (max off-diagonal cosine ≈ 0.51),
-    # so use a low demo threshold; production near-dup would use ≥0.95
+    # so use a low demo threshold; production near-dup would use ≥0.95.
+    # The exact path computes float64 (matching the DOUBLE[] cast in the SQL).
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.cosine_dup_pairs(ds, threshold=0.4)
+    out = ann.cosine_dup_pairs(ds, threshold=0.4).to_pandas()
+    out["score_q"] = np.floor(out["score"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    return out[["id_a", "id_b", "score_q"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1027,12 +1183,28 @@ def q_window_sliding(sf_dir: str):
     return out[["event_type", "window_start", "n", "sum_q"]]
 
 
-@q("window_sessions")  # per-group stateful logic — pytest holds the oracle
+@q(
+    "window_sessions",
+    """
+WITH e AS (SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+m AS (SELECT *, CASE WHEN prev IS NULL
+    OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1 ELSE 0 END AS new_s FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n, CAST(floor(SUM(value)*100.0 + 0.5) AS BIGINT) AS sum_q
+FROM s GROUP BY user_id, sid
+""",
+)
 def q_window_sessions(sf_dir: str):
+    """Gaps-and-islands sessionization vs the SQL lag/cumsum formulation."""
     from . import window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    return window.sessionize(ds, 3600.0)
+    out = window.sessionize(ds, 3600.0).to_pandas()
+    out["sum_q"] = np.floor(out["sum_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return out[["user_id", "session_start", "session_end", "n", "sum_q"]]
 
 
 @q("pip_join_large_boxes", ORACLES["pip_join_boxes"])  # same oracle: paths must agree

@@ -6,6 +6,7 @@ stopword tables are actor state (compiled once).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -15,8 +16,30 @@ import pyarrow as pa
 import ray.data
 
 TOKEN_RE = re.compile(r"\S+")
-WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+# ASCII letter runs (NOT unicode \w): matches RE2's semantics so the heuristic
+# is reproducible verbatim in the DuckDB oracle; accented letters split words
+# identically on both sides, which only matters for consistency — the
+# stopword tables are pure ASCII.
+WORD_RE = re.compile(r"[A-Za-z]+")
 PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
+
+# process-stable md5-based token hash shared by simhash/fingerprint; identical
+# to DuckDB's md5_number_upper(tok) (lower 8 digest bytes, little-endian) so
+# both operators have exact SQL oracles
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) > 1_000_000:  # bound worker memory on huge vocab
+                cache.clear()
+            h = cache[t] = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+        out[i] = h
+    return out
 
 # Tiny public stopword seeds per language (enough for a heuristic classifier
 # over the synthetic corpus; real deployments would plug in fastText etc.)
@@ -107,26 +130,18 @@ class QualityScoreActor:
 
 
 def fingerprint64(text: str, window: int = 8) -> int:
-    """Winnowing-style document fingerprint: min rolling-hash over windows of
-    the token-hash sequence, combined order-sensitively."""
-    def _fnv(w: str) -> int:  # process-stable token hash (Python hash() is salted)
-        acc = 1469598103934665603
-        for byt in w.encode("utf-8"):
-            acc = (acc * 1099511628211) ^ byt
-            acc &= (1 << 64) - 1
-        return acc & ((1 << 61) - 1)
-
-    hs = np.array([np.uint64(_fnv(w)) for w in text.split()], dtype=np.uint64)
-    if len(hs) == 0:
+    """Winnowing-style document fingerprint (Schleimer et al. 2003 selection
+    rule): md5 token hashes → per-window minima → XOR of the DISTINCT minima
+    (the winnowed set). Everything after the hash is vectorized NumPy, and the
+    whole pipeline is exactly reproducible in SQL (md5_number_upper + windowed
+    MIN + bit_xor DISTINCT), giving the operator a DuckDB oracle."""
+    toks = text.split()
+    if not toks:
         return 0
-    if len(hs) < window:
-        window = len(hs)
-    win = np.lib.stride_tricks.sliding_window_view(hs, window)
-    mins = win.min(axis=1)
-    acc = np.uint64(1469598103934665603)
-    for m in mins:
-        acc = np.uint64((int(acc) * 1099511628211 + int(m)) & ((1 << 64) - 1))
-    v = int(acc)
+    hs = md5_token_hashes(toks)
+    w = min(window, len(hs))
+    mins = np.unique(np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1))
+    v = int(np.bitwise_xor.reduce(mins))
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -111,11 +111,34 @@ def test_quality_scores(ray_session, sf_dir):
     assert (out["stop_ratio"] >= 0).all() and (out["stop_ratio"] <= 1).all()
 
 
-def test_fingerprint_stability_and_sensitivity():
+def test_fingerprint_winnowing_set_semantics():
+    """fingerprint64 = XOR of the DISTINCT window minima of md5 token hashes
+    (winnowing selection, Schleimer et al. 2003) — verified against a direct
+    scalar reimplementation. Appending a token need NOT change the winnowed
+    set (that's the point of winnowing); replacing the minimum token must."""
+    import hashlib
+
     t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def fp(s, window=8):
+        hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+              for w in s.split()]
+        if not hs:
+            return 0
+        w = min(window, len(hs))
+        v = 0
+        for m in {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}:
+            v ^= m
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     assert text.fingerprint64(t) == text.fingerprint64(t)
-    assert text.fingerprint64(t) != text.fingerprint64(t + " extra")
     assert text.fingerprint64("") == 0
+    for s in (t, t + " extra", "one", "a b", t.replace("gamma", "GAMMA")):
+        assert text.fingerprint64(s) == fp(s), s
+    hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+          for w in t.split()]
+    winner = t.split()[int(np.argmin(hs))]
+    assert text.fingerprint64(t.replace(winner, "replacement")) != text.fingerprint64(t)
 
 
 def test_ann_brute_topk_matches_numpy(ray_session, sf_dir):
