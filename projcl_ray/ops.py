@@ -604,6 +604,217 @@ def knn_join(
     return ds.map_batches(_knn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def knn_join_large(
+    queries: ray.data.Dataset,
+    targets: ray.data.Dataset,
+    k: int,
+    *,
+    query_id_col: str = "qid",
+    target_id_col: str = "tid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_deg: float = index_mod.DEFAULT_RES_DEG,
+    init_ring: int = 2,
+    max_rounds: int = 12,
+) -> ray.data.Dataset:
+    """Geodesic kNN when BOTH sides are large Datasets (nothing broadcasts) —
+    the dataset×dataset mirror of :class:`KnnActor`, built like
+    :func:`pip_join_large` around one ``groupby(cell_id)`` shuffle per round.
+
+    Round r: every pending query probes its ring-r cell neighborhood (a
+    controlled fan-out of (qid, lon, lat) rows — ids+coords only, never a
+    payload); the shuffle co-locates probes with each cell's targets; a
+    per-cell partial top-k then a small per-query merge follow. A query
+    FINISHES when its k-th distance is closed by the ring's guaranteed
+    coverage (same conservative 2/π chord bound as KnnActor, so results are
+    provably exact); unfinished queries re-probe with a doubled ring.
+    Partitioning assumption: per-cell target count fits a worker (salt
+    res_deg down for pathological hot cells).
+
+    Returns a Dataset of (query columns' id, target id, neighbor_rank,
+    distance_m). Targets are materialized once (object store, spillable) so
+    multi-round runs don't re-read the target table.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    max_ring = int(180.0 / res_deg) + 1
+    q_slim = queries.select_columns([query_id_col, lon_col, lat_col])
+    t_cells = assign_cells(
+        targets.select_columns([target_id_col, lon_col, lat_col]),
+        lon_col=lon_col, lat_col=lat_col, res_deg=res_deg,
+    )
+
+    q_schema = q_slim.schema()
+    qid_type = q_schema.base_schema.field(query_id_col).type
+    t_schema = t_cells.schema()
+    tid_type = t_schema.base_schema.field(target_id_col).type
+    # typed filler for sentinel rows (dist=inf marks them): keeps the tid
+    # column's dtype identical across blocks so unions/materialize stay clean
+    if pa.types.is_integer(tid_type):
+        tid_filler: object = 0
+    elif pa.types.is_floating(tid_type):
+        tid_filler = 0.0
+    else:
+        tid_filler = ""
+
+    def _np_of(t):
+        if pa.types.is_integer(t):
+            return np.int64
+        if pa.types.is_floating(t):
+            return np.float64
+        return object
+
+    # normalize group-output dtypes: the union gives probe rows null tids (the
+    # column arrives as float64/object in pandas groups), so every emitted
+    # frame casts back to the declared id dtypes for block-schema stability
+    qid_np, tid_np = _np_of(qid_type), _np_of(tid_type)
+
+    def tag_targets(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(query_id_col, pa.array([None] * batch.num_rows, qid_type))
+        batch = batch.append_column("home", pa.array([False] * batch.num_rows, pa.bool_()))
+        return batch.select(["cell_id", query_id_col, target_id_col, lon_col, lat_col, "home"])
+
+    t_tagged = t_cells.map_batches(tag_targets, batch_format="pyarrow").materialize()
+
+    def make_explode(ring_eff: int):
+        def explode(batch: pa.Table) -> pa.Table:
+            lon = np.asarray(batch[lon_col], np.float64)
+            lat = np.asarray(batch[lat_col], np.float64)
+            cells = index_mod.cell_id(lon, lat, res_deg)
+            nbrs = np.sort(index_mod.cell_neighbors(cells, res_deg, ring=ring_eff), axis=1)
+            keep = np.ones(nbrs.shape, bool)
+            keep[:, 1:] = nbrs[:, 1:] != nbrs[:, :-1]  # dedup clamped/wrapped cells
+            rows = np.repeat(np.arange(len(lon)), nbrs.shape[1])[keep.ravel()]
+            probe_cells = nbrs.ravel()[keep.ravel()]
+            return pa.table(
+                {
+                    "cell_id": pa.array(probe_cells, pa.int64()),
+                    query_id_col: pa.array(np.asarray(batch[query_id_col])[rows], qid_type),
+                    target_id_col: pa.array([None] * len(rows), tid_type),
+                    lon_col: pa.array(lon[rows], pa.float64()),
+                    lat_col: pa.array(lat[rows], pa.float64()),
+                    # home-cell marker: guarantees every pending query reaches
+                    # the merge even when its whole ring holds zero targets
+                    "home": pa.array(probe_cells == cells[rows], pa.bool_()),
+                }
+            )
+
+        return explode
+
+    def cell_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                query_id_col: pd.Series([], dtype=qid_np),
+                "qlat": pd.Series([], dtype=np.float64),
+                target_id_col: pd.Series([], dtype=tid_np),
+                "dist": pd.Series([], dtype=np.float64),
+            }
+        )
+        tmask = group[target_id_col].notna()
+        tg = group[tmask]
+        qg = group[~tmask]
+        if not len(qg):
+            return empty
+        if not len(tg):
+            home = qg[qg["home"]]
+            if not len(home):
+                return empty
+            # sentinel (dist=inf): keeps candidate-less queries visible to the merge
+            return pd.DataFrame(
+                {
+                    query_id_col: home[query_id_col].to_numpy().astype(qid_np),
+                    "qlat": home[lat_col].to_numpy(np.float64),
+                    target_id_col: pd.Series([tid_filler] * len(home), dtype=tid_np),
+                    "dist": np.full(len(home), np.inf),
+                }
+            )
+        tids = tg[target_id_col].to_numpy().astype(tid_np)
+        ci, cd = spatial_mod.knn_brute(
+            qg[lon_col].to_numpy(np.float64), qg[lat_col].to_numpy(np.float64),
+            tg[lon_col].to_numpy(np.float64), tg[lat_col].to_numpy(np.float64),
+            k, order_key=tids,
+        )
+        kk = ci.shape[1]
+        return pd.DataFrame(
+            {
+                query_id_col: np.repeat(qg[query_id_col].to_numpy().astype(qid_np), kk),
+                "qlat": np.repeat(qg[lat_col].to_numpy(np.float64), kk),
+                target_id_col: tids[ci.ravel()],
+                "dist": cd.ravel(),
+            }
+        )
+
+    def make_merge(ring_eff: int):
+        def merge_q(group: "pd.DataFrame") -> "pd.DataFrame":
+            g = group[np.isfinite(group["dist"].to_numpy(np.float64))]
+            g = g.sort_values(["dist", target_id_col], kind="stable").head(k)
+            qlat = float(group["qlat"].iloc[0])
+            lat_band = min(89.0, abs(qlat) + ring_eff * res_deg)
+            mpd = 111194.9 * max(np.cos(np.radians(lat_band)), 0.02)
+            bound_m = (ring_eff - 1) * res_deg * mpd * (2.0 / np.pi)
+            done = ring_eff >= max_ring or (
+                len(g) >= k and float(g["dist"].iloc[-1]) <= bound_m
+            )
+            if not len(g) and not done:
+                # zero candidates this round: emit a pending marker so the
+                # driver re-probes this query with a wider ring
+                return pd.DataFrame(
+                    {
+                        query_id_col: pd.Series([group[query_id_col].iloc[0]], dtype=qid_np),
+                        target_id_col: pd.Series([tid_filler], dtype=tid_np),
+                        "dist": [np.inf],
+                        "neighbor_rank": np.array([-1], np.int32),
+                        "knn_done": [False],
+                    }
+                )
+            out = pd.DataFrame(
+                {
+                    query_id_col: g[query_id_col].to_numpy().astype(qid_np),
+                    target_id_col: g[target_id_col].to_numpy().astype(tid_np),
+                    "dist": g["dist"].to_numpy(np.float64),
+                    "neighbor_rank": np.arange(len(g), dtype=np.int32),
+                    "knn_done": np.full(len(g), done),
+                }
+            )
+            return out
+
+        return merge_q
+
+    pending = q_slim
+    ring = init_ring
+    results: list[ray.data.Dataset] = []
+    for _ in range(max_rounds):
+        ring_eff = min(ring, max_ring)
+        probes = pending.map_batches(make_explode(ring_eff), batch_format="pyarrow")
+        per_cell = probes.union(t_tagged).groupby("cell_id").map_groups(
+            cell_topk, batch_format="pandas"
+        )
+        merged = per_cell.groupby(query_id_col).map_groups(
+            make_merge(ring_eff), batch_format="pandas"
+        ).materialize()
+        results.append(
+            merged.map_batches(
+                lambda t: t.filter(pc.equal(t["knn_done"], True)).drop_columns(["knn_done"]),
+                batch_format="pyarrow",
+            )
+        )
+        pending_df = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["knn_done"], False)).select([query_id_col]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if query_id_col not in pending_df.columns or not len(pending_df):
+            break  # every query finished
+        pending_ids = np.unique(pending_df[query_id_col].to_numpy())
+        pending = semi_join_keys(q_slim, pending_ids, query_id_col)
+        ring = min(max(ring + 1, ring * 2), max_ring)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out.rename_columns({"dist": "distance_m"})
+
+
 def forward_geodesic_fixed_angle(
     ds: ray.data.Dataset,
     origin_lon: float,
@@ -828,16 +1039,18 @@ def exact_quantiles(
     qs: list[float],
     *,
     batch_size: int | None = None,
+    driver_concat: bool = False,
 ) -> dict[float, float]:
-    """Exact quantiles of a numeric column: per-block SORTED partials stream to
-    the driver (one column only — bytes moved = 8·n), k-way concatenated and
-    cut at the requested ranks. DuckDB quantile_disc semantics (lower of the
-    two straddling values).
+    """Exact quantiles of a numeric column, DuckDB quantile_disc semantics
+    (the value at 1-based rank ceil(q·n)).
 
-    At 100 TB swap the driver concat for a mergeable quantile sketch (KLL /
-    t-digest); the partial-per-block plumbing is identical — only the merge
-    step changes.
-    """
+    Default path = :func:`distributed_quantiles`: exact at any scale with
+    bounded driver memory (bracket refinement — no column concat, no sketch
+    approximation error, so the SQL oracle stays hash-green). The legacy
+    ``driver_concat=True`` path pulls the whole sorted column to the driver —
+    only for small data / cross-checking the distributed path in tests."""
+    if not driver_concat:
+        return distributed_quantiles(ds, col, qs, batch_size=batch_size)
 
     def partial(batch: dict) -> dict:
         return {col: np.sort(np.asarray(batch[col], np.float64))}
@@ -853,6 +1066,108 @@ def exact_quantiles(
         # quantile_disc: value at index ceil(q*n) - 1 (1-based), clamped
         idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
         out[q] = float(vals[idx])
+    return out
+
+
+def distributed_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    batch_size: int | None = None,
+    n_splits: int = 512,
+    max_collect: int = 4_000_000,
+    max_rounds: int = 8,
+) -> dict[float, float]:
+    """EXACT quantiles with bounded driver memory — the scale path that
+    replaced the driver-side column concat (and makes a lossy KLL/t-digest
+    sketch unnecessary: same mergeable-partial plumbing, zero rank error).
+
+    Plan (each pass is one streaming map over the single selected column):
+    1. per-block evenly-spaced sorted samples → driver picks ~n_splits
+       candidate split points;
+    2. per-block ``searchsorted`` counts below each split → driver locates,
+       for every requested rank, the [lo, hi) bracket that provably contains
+       it (count(<lo) ≤ rank < count(<hi));
+    3. collect ONLY the bracket values (≈ n/n_splits each, ``max_collect``
+       guarded — oversized brackets re-split for another round) and select
+       the exact rank inside.
+
+    Assumes no NaNs in the column (parquet nulls should be filtered
+    upstream). Passes re-execute the upstream plan, so feed it a cheap scan
+    (e.g. a column-pruned ``read_parquet``), not an expensive pipeline.
+    """
+    slim = ds.select_columns([col])
+
+    def sample_block(batch: dict) -> dict:
+        v = np.asarray(batch[col], np.float64)
+        if len(v) == 0:
+            return {"s": v}
+        k = min(len(v), 256)
+        idx = np.linspace(0, len(v) - 1, k).astype(np.int64)
+        return {"s": np.sort(v)[idx]}
+
+    sampled = slim.map_batches(sample_block, batch_format="numpy", batch_size=batch_size)
+    pool = np.concatenate(
+        [np.asarray(b["s"]) for b in sampled.iter_batches(batch_format="numpy")] or
+        [np.empty(0, np.float64)]
+    )
+    if len(pool) == 0:
+        return {q: float("nan") for q in qs}
+    splits = np.unique(np.quantile(pool, np.linspace(0.0, 1.0, n_splits)))
+
+    def make_counts(spl: np.ndarray):
+        def count_below(batch: dict) -> dict:
+            v = np.sort(np.asarray(batch[col], np.float64))
+            c = np.searchsorted(v, spl, side="left").astype(np.int64)
+            return {"c": c[None, :], "n": np.array([len(v)], np.int64)}
+
+        return count_below
+
+    out: dict[float, float] = {}
+    # ranks (0-based) still unresolved → iterate bracket refinement
+    for round_no in range(max_rounds):
+        counted = slim.map_batches(make_counts(splits), batch_format="numpy",
+                                   batch_size=batch_size)
+        cb = np.zeros(len(splits), np.int64)
+        total = 0
+        for b in counted.iter_batches(batch_format="numpy"):
+            cb += np.asarray(b["c"]).sum(axis=0)
+            total += int(np.asarray(b["n"]).sum())
+        targets = {q: min(max(int(np.ceil(q * total)) - 1, 0), total - 1) for q in qs
+                   if q not in out}
+        brackets: dict[float, tuple[float, float, int]] = {}
+        for q, t in targets.items():
+            below = np.nonzero(cb <= t)[0]
+            above = np.nonzero(cb > t)[0]
+            lo = splits[below[-1]] if len(below) else -np.inf
+            hi = splits[above[0]] if len(above) else np.inf
+            lo_count = int(cb[below[-1]]) if len(below) else 0
+            brackets[q] = (lo, hi, lo_count)
+        uniq = sorted({(lo, hi) for lo, hi, _ in brackets.values()})
+
+        def collect(batch: dict) -> dict:
+            v = np.asarray(batch[col], np.float64)
+            mask = np.zeros(len(v), bool)
+            for lo, hi in uniq:
+                mask |= (v >= lo) & (v < hi)
+            return {col: v[mask]}
+
+        vals = np.sort(np.concatenate(
+            [np.asarray(b[col]) for b in
+             slim.map_batches(collect, batch_format="numpy", batch_size=batch_size)
+             .iter_batches(batch_format="numpy")] or [np.empty(0, np.float64)]
+        ))
+        if len(vals) > max_collect and round_no < max_rounds - 1:
+            # pathological skew: re-split inside the hot brackets
+            splits = np.unique(np.quantile(vals[:: max(1, len(vals) // (4 * n_splits))],
+                                           np.linspace(0.0, 1.0, n_splits)))
+            continue
+        for q, (lo, hi, lo_count) in brackets.items():
+            # vals holds every value in all brackets; restrict to this one
+            seg = vals[(vals >= lo) & (vals < hi)]
+            out[q] = float(seg[targets[q] - lo_count])
+        break
     return out
 
 

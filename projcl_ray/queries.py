@@ -623,6 +623,29 @@ def q_knn(sf_dir: str):
     return out[["c_custkey", "s_suppkey", "neighbor_rank", "dist_m"]]
 
 
+@q("knn_join_large_customers_suppliers")
+def q_knn_large(sf_dir: str):
+    """Both-sides-large kNN (dataset×dataset, nothing broadcast) against the
+    SAME cross-join SQL oracle as the broadcast path — both must agree."""
+    cust = _customer_points(sf_dir)
+    s_ids, s_lon, s_lat = _supplier_points(sf_dir)
+    supp_ds = rd.from_arrow(
+        pa.table({"s_suppkey": pa.array(np.asarray(s_ids, np.int64)),
+                  "lon": pa.array(s_lon), "lat": pa.array(s_lat)})
+    )
+    out = ops.knn_join_large(
+        cust, supp_ds, k=3, query_id_col="c_custkey", target_id_col="s_suppkey",
+        res_deg=10.0, init_ring=3,
+    ).to_pandas()
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["neighbor_rank"] = out["neighbor_rank"].astype(np.int64)
+    out["dist_m"] = np.floor(out["distance_m"].to_numpy()).astype(np.int64)
+    return out[["c_custkey", "s_suppkey", "neighbor_rank", "dist_m"]]
+
+
+ORACLES["knn_join_large_customers_suppliers"] = ORACLES["knn_customers_suppliers"]
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text / ANN
 # ---------------------------------------------------------------------------

@@ -272,3 +272,56 @@ def test_knn_tie_breaks_by_target_id(ray_session):
         out = ops.knn_join(ds, t_ids, t_lon, t_lat, k=3, prune_res_deg=res).to_pandas()
         got = out.sort_values("neighbor_rank")["neighbor_id"].tolist()
         assert got == [3, 5, 7], (res, got)
+
+
+def test_knn_join_large_matches_brute(ray_session):
+    """Dataset×dataset kNN (nothing broadcast) must be exact vs brute force —
+    dense targets (one round) and sparse targets (multi-round ring growth,
+    including a query whose first rings hold zero targets)."""
+    import ray.data as rd
+
+    from projcl_ray.spatial import knn_brute
+
+    rng = np.random.default_rng(21)
+    qlon = np.concatenate([rng.uniform(-60, 60, 60), [170.0]])  # far outlier query
+    qlat = np.concatenate([rng.uniform(-40, 80, 60), [-85.0]])
+    q_ds = rd.from_items(
+        [{"qid": i, "lon": float(qlon[i]), "lat": float(qlat[i])} for i in range(len(qlon))]
+    )
+    for m in (2000, 12):  # dense / sparse
+        t_lon = rng.uniform(-60, 60, m)
+        t_lat = rng.uniform(-40, 80, m)
+        t_ds = rd.from_items(
+            [{"tid": int(j), "lon": float(t_lon[j]), "lat": float(t_lat[j])} for j in range(m)]
+        )
+        out = ops.knn_join_large(
+            q_ds, t_ds, k=3, query_id_col="qid", target_id_col="tid", res_deg=10.0
+        ).to_pandas()
+        assert len(out) == len(qlon) * 3, m
+        got = out.sort_values(["qid", "neighbor_rank"]).reset_index(drop=True)
+        idx, exp = knn_brute(qlon, qlat, t_lon, t_lat, 3, order_key=np.arange(m))
+        np.testing.assert_allclose(
+            got["distance_m"].to_numpy().reshape(-1, 3), exp, rtol=1e-12, err_msg=f"m={m}"
+        )
+        np.testing.assert_array_equal(got["tid"].to_numpy().reshape(-1, 3), idx)
+
+
+def test_distributed_quantiles_exact(ray_session, sf_dir):
+    """Bracket-refinement quantiles must equal the driver-concat exact path
+    bit-for-bit — including on heavily duplicated (skewed) values where one
+    bracket holds most of the column."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    assert ops.distributed_quantiles(ds, "l_extendedprice", qs) == ops.exact_quantiles(
+        ds, "l_extendedprice", qs, driver_concat=True
+    )
+
+    rng = np.random.default_rng(5)
+    skew = np.concatenate([np.full(40_000, 7.0), rng.uniform(0, 1, 500), [1e9]])
+    rng.shuffle(skew)
+    sk = rd.from_arrow(pa.table({"v": pa.array(skew)}))
+    got = ops.distributed_quantiles(sk, "v", qs, n_splits=16, max_collect=1000)
+    exp = ops.exact_quantiles(sk, "v", qs, driver_concat=True)
+    assert got == exp
