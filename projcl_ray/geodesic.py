@@ -143,6 +143,136 @@ def vincenty_direct(lon, lat, azimuth_deg, distance_m, spheroid: str = "WGS_84")
     return lam2 / DEG, phi2 / DEG, (alpha2 / DEG) % 360.0
 
 
+# ---------------------------------------------------------------------------
+# Karney-style inverse (Karney 2013, "Algorithms for geodesics", J. Geodesy
+# 87:43-55): solve on the auxiliary sphere for the course angle α1, with the
+# spherical-triangle relations of §2-4 and the paper's symmetries for the
+# canonical arrangement. Instead of transcribing the 6th-order series
+# expansions, the three geodesic integrals are evaluated by Gauss-Legendre
+# quadrature (machine precision for these smooth integrands), and α1 is found
+# by bisection on the monotone λ12(α1) — slower per point than Vincenty but
+# convergent EVERYWHERE, including the antipodal region where Vincenty's λ
+# iteration diverges. Used as the rescue path of vincenty_inverse and as an
+# independent test oracle.
+# ---------------------------------------------------------------------------
+
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(32)
+_TINY = 1e-150
+
+
+def _gl_integral(sigma: np.ndarray, fn) -> np.ndarray:
+    """∫₀^σ fn(t) dt per element (signed), 32-node Gauss-Legendre."""
+    half = 0.5 * sigma
+    t = half[..., None] * (_GL_X + 1.0)  # nodes mapped to [0, σ]
+    return (fn(t) * _GL_W).sum(axis=-1) * half
+
+
+def _karney_eval(salp1, calp1, sbet1, cbet1, sbet2, cbet2, f, ep2, b):
+    """λ12, s12 and α2 components for a trial α1 (canonical arrangement:
+    β1 ≤ 0, |β1| ≥ |β2|, λ12 ∈ [0, π]) — Karney eqs. 5-25/44-45."""
+    salp0 = salp1 * cbet1
+    calp0 = np.hypot(calp1, salp1 * sbet1)
+    ssig1, csig1 = sbet1, calp1 * cbet1
+    # |β1| ≥ |β2| ⇒ cos²β2 − cos²β1 ≥ 0; positive branch is the shortest path
+    calp2 = np.sqrt(np.maximum((calp1 * cbet1) ** 2 + (cbet2 - cbet1) * (cbet2 + cbet1), 0.0)) / cbet2
+    ssig2, csig2 = sbet2, calp2 * cbet2
+    sig1 = np.arctan2(ssig1, csig1)
+    sig2 = np.arctan2(ssig2, csig2)
+    k2 = ep2 * calp0 * calp0
+
+    def i1(t):
+        return np.sqrt(1.0 + k2[..., None] * np.sin(t) ** 2)
+
+    def i3(t):
+        return (2.0 - f) / (1.0 + (1.0 - f) * np.sqrt(1.0 + k2[..., None] * np.sin(t) ** 2))
+
+    omg12 = np.arctan2(salp0 * ssig2, csig2) - np.arctan2(salp0 * ssig1, csig1)
+    lam12 = omg12 - f * salp0 * (_gl_integral(sig2, i3) - _gl_integral(sig1, i3))
+    s12 = b * (_gl_integral(sig2, i1) - _gl_integral(sig1, i1))
+    return lam12, s12, salp0, calp2
+
+
+def karney_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84",
+                   bisect_iters: int = 60):
+    """Inverse geodesic by Karney's auxiliary-sphere method (see block comment
+    above): returns (distance_m, azi1_deg, azi2_deg), both azimuths being the
+    direction of travel at their point, in [0, 360). Convergent for every
+    input pair including exact antipodes."""
+    info = get_spheroid(spheroid)
+    a, b = info.major_axis, info.minor_axis
+    f = info.flattening
+    ep2 = info.ecc2 / info.one_ecc2
+
+    lam1 = np.asarray(lon1, np.float64) * DEG
+    phi1 = np.asarray(lat1, np.float64) * DEG
+    lam2 = np.asarray(lon2, np.float64) * DEG
+    phi2 = np.asarray(lat2, np.float64) * DEG
+    shape = np.broadcast_shapes(lam1.shape, phi1.shape, lam2.shape, phi2.shape)
+    lam1, phi1, lam2, phi2 = (np.broadcast_to(v, shape).ravel().copy()
+                              for v in (lam1, phi1, lam2, phi2))
+
+    # reduced latitudes
+    beta1 = np.arctan((1.0 - f) * np.tan(phi1))
+    beta2 = np.arctan((1.0 - f) * np.tan(phi2))
+
+    # canonicalization (the paper's symmetries): λ12 ∈ [0, π] via lonsign;
+    # |β1| ≥ |β2| via point swap; β1 ≤ 0 via N-S mirror
+    lam12 = lam2 - lam1
+    lam12 = np.where(np.abs(lam12) > math.pi, lam12 - np.copysign(2 * math.pi, lam12), lam12)
+    lonsign = np.where(lam12 >= 0.0, 1.0, -1.0)
+    lam12c = np.abs(lam12)
+    swap = np.abs(beta1) < np.abs(beta2)
+    b1 = np.where(swap, beta2, beta1)
+    b2 = np.where(swap, beta1, beta2)
+    latsign = np.where(b1 <= 0.0, 1.0, -1.0)
+    b1 = b1 * latsign
+    b2 = b2 * latsign
+
+    sbet1, cbet1 = np.sin(b1), np.maximum(np.cos(b1), _TINY)
+    sbet2, cbet2 = np.sin(b2), np.maximum(np.cos(b2), _TINY)
+    # degenerate equatorial pair beyond the equatorial-geodesic limit: nudge
+    # β1 off the equator so the spherical triangle is non-degenerate
+    equatorial = (sbet1 == 0.0) & (sbet2 == 0.0)
+    eq_short = equatorial & (lam12c <= (1.0 - f) * math.pi)
+    sbet1 = np.where(equatorial & ~eq_short, -1e-12, sbet1)
+
+    # bisection on α1 ∈ (0, π): λ12(α1) increases monotonically 0 → π
+    lo = np.full(sbet1.shape, 1e-12)
+    hi = np.full(sbet1.shape, math.pi - 1e-12)
+    for _ in range(bisect_iters):
+        mid = 0.5 * (lo + hi)
+        lam_mid, _, _, _ = _karney_eval(
+            np.sin(mid), np.cos(mid), sbet1, cbet1, sbet2, cbet2, f, ep2, b
+        )
+        take_hi = lam_mid < lam12c
+        lo = np.where(take_hi, mid, lo)
+        hi = np.where(take_hi, hi, mid)
+    alp1 = 0.5 * (lo + hi)
+    salp1, calp1 = np.sin(alp1), np.cos(alp1)
+    _, s12, salp0, calp2 = _karney_eval(salp1, calp1, sbet1, cbet1, sbet2, cbet2, f, ep2, b)
+    salp2 = salp0 / cbet2
+    alp2 = np.arctan2(salp2, calp2)
+
+    # equatorial fast path: the geodesic runs along the equator
+    s12 = np.where(eq_short, a * lam12c, s12)
+    alp1 = np.where(eq_short, math.pi / 2, alp1)
+    alp2 = np.where(eq_short, math.pi / 2, alp2)
+
+    # unwind the symmetries (reverse order of application)
+    alp1u = np.where(np.broadcast_to(latsign < 0, alp1.shape), math.pi - alp1, alp1)
+    alp2u = np.where(np.broadcast_to(latsign < 0, alp2.shape), math.pi - alp2, alp2)
+    # swapped pairs solved the reversed path: unwind by swapping roles and
+    # mirroring (reversal +π composed with the canonical E-W mirror ⇒ π − α)
+    alp1f = np.where(swap, math.pi - alp2u, alp1u)
+    alp2f = np.where(swap, math.pi - alp1u, alp2u)
+    alp1f = alp1f * lonsign
+    alp2f = alp2f * lonsign
+
+    azi1 = (alp1f / DEG) % 360.0
+    azi2 = (alp2f / DEG) % 360.0
+    return s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape)
+
+
 def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter: int = 200):
     """Ellipsoidal inverse problem (Vincenty 1975): distance + fwd/back azimuths.
 
@@ -224,48 +354,24 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter:
     alpha1 = np.arctan2(cosU2 * np.sin(lam), cosU1 * sinU2 - sinU1 * cosU2 * np.cos(lam))
     alpha2 = np.arctan2(cosU1 * np.sin(lam), -sinU1 * cosU2 + cosU1 * sinU2 * np.cos(lam))
 
-    # Near-antipodal pairs where classic Vincenty fails to converge: refine
-    # (s, α1) with Newton on the DIRECT problem (robust everywhere), so the
-    # returned geodesic lands exactly on the target point. The direct solver
-    # is the forward model; finite-difference Jacobian, refinement applied to
-    # the (rare) non-converged subset only.
+    # Near-antipodal pairs where classic Vincenty's λ iteration diverges:
+    # re-solve the (rare) non-converged subset with the Karney-style solver,
+    # which is convergent everywhere including exact antipodes (north_star
+    # names Vincenty/Karney: Vincenty is the fast bulk path, Karney the
+    # always-convergent rescue and independent oracle).
     bad = np.nonzero(np.ravel(delta) > 1e-12)[0]
     if len(bad):
         fl1 = np.ravel(lam1)[bad] / DEG
         fp1 = np.ravel(phi1)[bad] / DEG
         fl2 = np.ravel(lam2)[bad] / DEG
         fp2 = np.ravel(phi2)[bad] / DEG
-        s_b = np.ravel(s)[bad].copy()
-        a_b = np.ravel(alpha1)[bad] / DEG
-        for _ in range(30):
-            lo0, la0, _ = vincenty_direct(fl1, fp1, a_b, s_b, spheroid)
-            err_lon = (lo0 - fl2 + 180.0) % 360.0 - 180.0
-            err_lat = la0 - fp2
-            if max(np.max(np.abs(err_lon)), np.max(np.abs(err_lat))) < 1e-12:
-                break
-            da, ds_ = 1e-7, 0.1  # deg, meters
-            lo_a, la_a, _ = vincenty_direct(fl1, fp1, a_b + da, s_b, spheroid)
-            lo_s, la_s, _ = vincenty_direct(fl1, fp1, a_b, s_b + ds_, spheroid)
-            j00 = ((lo_a - lo0 + 180.0) % 360.0 - 180.0) / da
-            j01 = ((lo_s - lo0 + 180.0) % 360.0 - 180.0) / ds_
-            j10 = (la_a - la0) / da
-            j11 = (la_s - la0) / ds_
-            det = j00 * j11 - j01 * j10
-            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
-            d_alpha = (-err_lon * j11 + err_lat * j01) / det
-            d_s = (err_lon * j10 - err_lat * j00) / det
-            # damp huge steps (Jacobian is ill-conditioned exactly antipodally)
-            d_alpha = np.clip(d_alpha, -5.0, 5.0)
-            d_s = np.clip(d_s, -2e5, 2e5)
-            a_b = a_b + d_alpha
-            s_b = np.maximum(s_b + d_s, 0.0)
-        _, _, back_az = vincenty_direct(fl1, fp1, a_b, s_b, spheroid)
+        kd, ka1, ka2 = karney_inverse(fl1, fp1, fl2, fp2, spheroid)
         s_flat = np.ravel(s)
         a1_flat = np.ravel(alpha1)
         a2_flat = np.ravel(alpha2)
-        s_flat[bad] = s_b
-        a1_flat[bad] = (a_b % 360.0) * DEG
-        a2_flat[bad] = ((back_az + 180.0) % 360.0) * DEG  # forward az at point 2
+        s_flat[bad] = kd
+        a1_flat[bad] = ka1 * DEG
+        a2_flat[bad] = ka2 * DEG
         s = s_flat.reshape(shape)
         alpha1 = a1_flat.reshape(shape)
         alpha2 = a2_flat.reshape(shape)

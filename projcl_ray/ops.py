@@ -29,7 +29,14 @@ import ray.data
 from . import datums as datums_mod
 from . import index as index_mod
 from . import spatial as spatial_mod
-from .geodesic import SPHERE_RADIUS, forward_sphere, haversine, vincenty_direct, vincenty_inverse
+from .geodesic import (
+    SPHERE_RADIUS,
+    forward_sphere,
+    haversine,
+    karney_inverse,
+    vincenty_direct,
+    vincenty_inverse,
+)
 from .images import decode_image, encode_image, phash64
 from .proj import ProjParams, prepare
 from .warp import GeoRef, WarpSpec, warp_image
@@ -160,20 +167,22 @@ def geodesic_distance(
     batch_size: int | None = 128 * 1024,
 ) -> ray.data.Dataset:
     """Row-wise inverse geodesic (pl_inverse_geodesic_s semantics for
-    'haversine'; Vincenty ellipsoidal otherwise, incl. azimuth columns)."""
+    'haversine'; ellipsoidal 'vincenty' (Karney rescue on the antipodal
+    subset) or pure 'karney' otherwise, incl. azimuth columns)."""
 
     def _hav(batch: dict) -> dict:
         batch[out] = haversine(batch[lon1], batch[lat1], batch[lon2], batch[lat2], radius)
         return batch
 
-    def _vin(batch: dict) -> dict:
-        d, a12, a21 = vincenty_inverse(batch[lon1], batch[lat1], batch[lon2], batch[lat2], spheroid)
+    def _ell(batch: dict) -> dict:
+        solver = karney_inverse if method == "karney" else vincenty_inverse
+        d, a12, a21 = solver(batch[lon1], batch[lat1], batch[lon2], batch[lat2], spheroid)
         batch[out] = d
         batch["azi1_deg"] = a12
         batch["azi2_deg"] = a21
         return batch
 
-    fn = _hav if method == "haversine" else _vin
+    fn = _hav if method == "haversine" else _ell
     return ds.map_batches(fn, batch_format="numpy", batch_size=batch_size)
 
 

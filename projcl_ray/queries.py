@@ -672,8 +672,11 @@ def q_token_count(sf_dir: str):
     ds = text.add_token_count(ds)
 
     def chars(batch: pa.Table) -> pa.Table:
-        n = pa.array([len(t) for t in batch["text"].to_pylist()], pa.int64())
-        return batch.append_column("n_chars_q", n)
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_chars_q", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        )
 
     return ds.map_batches(chars, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens", "n_chars_q"]

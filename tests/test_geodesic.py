@@ -126,3 +126,62 @@ def test_vincenty_direct_matches_sphere_when_f_zero():
                                   radius=6378137.0)
     np.testing.assert_allclose(lon2v, lon2s, atol=1e-9)
     np.testing.assert_allclose(lat2v, lat2s, atol=1e-9)
+
+
+def test_karney_matches_vincenty_general():
+    """Quadrature-based Karney solver vs Vincenty on general pairs: distances
+    within 0.1 mm, azimuths within 1e-6 deg (Vincenty itself is the ~0.5 mm
+    reference; the quadrature integrals are machine-precision)."""
+    from projcl_ray.geodesic import karney_inverse, vincenty_inverse
+
+    rng = np.random.default_rng(13)
+    n = 200
+    lon1, lat1 = rng.uniform(-180, 180, n), rng.uniform(-89.9, 89.9, n)
+    lon2, lat2 = rng.uniform(-180, 180, n), rng.uniform(-89.9, 89.9, n)
+    dv, a1v, a2v = vincenty_inverse(lon1, lat1, lon2, lat2)
+    dk, a1k, a2k = karney_inverse(lon1, lat1, lon2, lat2)
+    assert np.abs(dk - dv).max() < 1e-4
+    assert np.abs((a1k - a1v + 180) % 360 - 180).max() < 1e-6
+    assert np.abs((a2k - a2v + 180) % 360 - 180).max() < 1e-6
+
+
+def test_karney_antipodal_lands_on_target_submm():
+    """Antipodal region (where Vincenty's λ iteration diverges): the returned
+    (s, α1) must land on the target via the independent direct solver to
+    ≤ 1 mm — including EXACT antipodes and both poles."""
+    from projcl_ray.geodesic import karney_inverse, vincenty_direct
+
+    rng = np.random.default_rng(7)
+    lat1 = rng.uniform(-60, 60, 80)
+    lon1 = rng.uniform(-180, 180, 80)
+    lat2 = -lat1 + rng.uniform(-0.05, 0.05, 80)
+    lon2 = lon1 + 180 + rng.uniform(-0.05, 0.05, 80)
+    # exact antipodes appended
+    lon1 = np.concatenate([lon1, [20.0, 0.0]])
+    lat1 = np.concatenate([lat1, [35.0, 0.0]])
+    lon2 = np.concatenate([lon2, [-160.0, 180.0]])
+    lat2 = np.concatenate([lat2, [-35.0, 0.0]])
+    d, a1, a2 = karney_inverse(lon1, lat1, lon2, lat2)
+    lo, la, _ = vincenty_direct(lon1, lat1, a1, d)
+    err_deg = np.maximum(np.abs((lo - lon2 + 180) % 360 - 180), np.abs(la - lat2))
+    assert err_deg.max() * 111194.9 < 1e-3  # ≤ 1 mm
+
+    # meridional antipodes: twice the quarter meridian (known WGS-84 value)
+    d, _, _ = karney_inverse(np.array([0.0, 10.0]), np.array([0.0, 90.0]),
+                             np.array([180.0, 30.0]), np.array([0.0, -90.0]))
+    np.testing.assert_allclose(d, 2 * 10001965.7293, atol=0.01)
+
+
+def test_vincenty_inverse_rescue_uses_karney():
+    """vincenty_inverse must return sub-mm-landing geodesics on the antipodal
+    subset (the Karney rescue path)."""
+    from projcl_ray.geodesic import vincenty_direct, vincenty_inverse
+
+    lon1 = np.array([0.0, 5.0, -40.0])
+    lat1 = np.array([0.0, 30.0, -10.0])
+    lon2 = np.array([179.6, -174.9, 140.1])
+    lat2 = np.array([0.4, -29.95, 10.05])
+    d, a1, a2 = vincenty_inverse(lon1, lat1, lon2, lat2)
+    lo, la, _ = vincenty_direct(lon1, lat1, a1, d)
+    err_deg = np.maximum(np.abs((lo - lon2 + 180) % 360 - 180), np.abs(la - lat2))
+    assert err_deg.max() * 111194.9 < 1e-3
