@@ -183,11 +183,11 @@ def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
 
     t_lo, t_hi = run_n(lo), run_n(hi)
     slowdown = t_hi / t_lo
-    return {"percore_sec_8way": round(t_lo, 4), "percore_sec_32way": round(t_hi, 4),
+    return {f"percore_sec_{lo}way": round(t_lo, 4), f"percore_sec_{hi}way": round(t_hi, 4),
             "hw_efficiency_ceiling": round(1.0 / slowdown, 3)}
 
 
-def run_scaling() -> dict:
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     def run(ncpu: int) -> dict:
         # heavier per-image work for the scaling criterion so compute dominates
         # Ray's fixed per-stage latencies at both parallelism levels
@@ -204,7 +204,6 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
     # best-of-2 per level: VM noise (page cache, scheduler) is strictly
     # additive, so the min is the honest estimate of each level's capability
     runs_lo = [run(lo), run(lo)]
@@ -215,26 +214,30 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     ceiling = _hw_ceiling(lo, hi)
     return {
-        "metric": "scaling efficiency (headline warp+tile), num_cpus 8 -> 32",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "images_per_sec_8": r_lo["images_per_sec"],
-        "images_per_sec_32": r_hi["images_per_sec"],
-        "pip_rows_per_sec_8": r_lo["pip_rows_per_sec"],
-        "pip_rows_per_sec_32": r_hi["pip_rows_per_sec"],
+        "metric": f"scaling efficiency (headline warp+tile), num_cpus {lo} -> {hi}",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"images_per_sec_{lo}": r_lo["images_per_sec"],
+        f"images_per_sec_{hi}": r_hi["images_per_sec"],
+        f"pip_rows_per_sec_{lo}": r_lo["pip_rows_per_sec"],
+        f"pip_rows_per_sec_{hi}": r_hi["pip_rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
         **ceiling,
         "efficiency_vs_hw_ceiling": round(eff / ceiling["hw_efficiency_ceiling"], 3),
-        "all_runs_sec_8": [r["value"] for r in runs_lo],
-        "all_runs_sec_32": [r["value"] for r in runs_hi],
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        f"all_runs_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_runs_sec_{hi}": [r["value"] for r in runs_hi],
+        f"queries_{lo}": r_lo["queries"],
+        f"queries_{hi}": r_hi["queries"],
         "sf": r_lo["sf"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # optional "lo hi" pair after --scaling (default 8 32); "4 16" probes
+        # the N→4N criterion where all-core turbo effects are mildest
+        rest = [a for a in sys.argv[sys.argv.index("--scaling") + 1:] if a.isdigit()]
+        lo, hi = (int(rest[0]), int(rest[1])) if len(rest) >= 2 else (8, 32)
+        print(json.dumps(run_scaling(lo, hi)))
     else:
         print(json.dumps(run_suite()))

@@ -21,23 +21,76 @@ import pyarrow as pa
 CHANNELS = 4  # RGBA, matching the reference's float4 pixel model
 
 
+def _codec_module():
+    """Optional real-codec hook: PIL if importable, else cv2, else None.
+    Probed once per process (worker-state pattern); the raw path never
+    depends on it."""
+    global _CODEC
+    try:
+        return _CODEC
+    except NameError:
+        pass
+    _CODEC = None
+    try:
+        from PIL import Image  # noqa: F401
+
+        _CODEC = "pil"
+    except ImportError:
+        try:
+            import cv2  # noqa: F401
+
+            _CODEC = "cv2"
+        except ImportError:
+            pass
+    return _CODEC
+
+
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 4) uint8."""
+    """bytes → (h, w, 4) uint8. ``raw`` is the first-class format
+    (uncompressed RGBA, always available); png/jpeg decode via PIL or cv2
+    when importable (this container ships neither — the hook is exercised by
+    a skipped-unless-available pytest), else a clear NotImplementedError."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, CHANNELS)
     if fmt in ("png", "jpeg"):
+        codec = _codec_module()
+        if codec == "pil":
+            import io
+
+            from PIL import Image
+
+            arr = np.asarray(Image.open(io.BytesIO(buf)).convert("RGBA"))
+            return np.ascontiguousarray(arr)
+        if codec == "cv2":
+            import cv2
+
+            bgr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
+            if bgr.ndim == 2:
+                bgr = cv2.cvtColor(bgr, cv2.COLOR_GRAY2BGRA)
+            elif bgr.shape[2] == 3:
+                bgr = cv2.cvtColor(bgr, cv2.COLOR_BGR2BGRA)
+            rgba = bgr[..., [2, 1, 0, 3]]
+            return np.ascontiguousarray(rgba)
         raise NotImplementedError(
-            f"{fmt} decode requires an image codec library not present in this "
-            "environment; use fmt='raw' (uncompressed RGBA). The pipeline "
-            "plumbing is format-agnostic."
+            f"{fmt} decode requires an image codec library (PIL/cv2), none "
+            "present in this environment; use fmt='raw' (uncompressed RGBA). "
+            "The pipeline plumbing is format-agnostic."
         )
     raise ValueError(f"unknown image format {fmt!r}")
 
 
 def encode_image(arr: np.ndarray, fmt: str = "raw") -> bytes:
-    """(h, w, 4) uint8 → bytes."""
+    """(h, w, 4) uint8 → bytes. ``raw`` always; png via PIL when importable."""
     if fmt == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+    if fmt == "png" and _codec_module() == "pil":
+        import io
+
+        from PIL import Image
+
+        out = io.BytesIO()
+        Image.fromarray(np.ascontiguousarray(arr, dtype=np.uint8), "RGBA").save(out, "PNG")
+        return out.getvalue()
     raise NotImplementedError(f"{fmt} encode not available in this environment")
 
 

@@ -933,6 +933,13 @@ def cell_counts(
     Ray's sort-based aggregate costs seconds of fixed latency regardless of
     row count — for a few thousand output rows the driver merge removes it
     entirely (measured 13.6 s → 7.7 s on the headline pipeline).
+
+    Default threshold guidance: driver merge is right while
+    (#blocks × distinct keys per block) stays ≲ 10⁷ partial rows (cell-grained
+    keys: ≤ 2592 cells at 5° — always fine). Flip to ``driver_merge=False``
+    when the key is finer than cell-grained (tile ids, user ids, content
+    hashes), where distinct-keys-per-block ≈ block rows and the partials
+    stream ≈ the input.
     """
 
     def partial(batch: dict) -> dict:

@@ -205,3 +205,21 @@ def test_projected_source_identity_warp():
                      float(ex.max() - ex.min()), float(ey.max() - ey.min()), 80, 64)
     out2 = warp_image(img, pref, spec2)
     assert np.all(np.isfinite(out2)) and (out2[..., 3] > 0).mean() > 0.7
+
+
+def test_codec_hook_png_roundtrip_when_available():
+    """Optional real-codec hook: png encode→decode must round-trip pixels
+    bit-exactly. Skipped when neither PIL nor cv2 is importable (this
+    container); the raw path is exercised everywhere else."""
+    import pytest
+
+    from projcl_ray.images import _codec_module, decode_image, encode_image, synth_pixels
+
+    if _codec_module() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG", 4, 4, "png")
+        pytest.skip("no PIL/cv2 in this environment (raw path covered elsewhere)")
+    img = synth_pixels(3, 32, 24)
+    buf = encode_image(img, "png")
+    back = decode_image(buf, 32, 24, "png")
+    np.testing.assert_array_equal(back, img)
