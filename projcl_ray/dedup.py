@@ -249,6 +249,55 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_candidates(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of LSH candidate pairs — the second half of
+    the near-dup pipeline (candidates → verified duplicates).
+
+    Scale shape: the candidate id set (bounded by the LSH output, orders of
+    magnitude smaller than the corpus) drives a payload-free semi-join that
+    shrinks ``docs`` to candidate texts only; their shingle sets broadcast
+    once via ``ray.put`` and every pair verifies against the broadcast —
+    the corpus itself never shuffles. Emits (id_a, id_b, jaccard) for pairs
+    with exact character-k-gram Jaccard ≥ threshold.
+    """
+    from .ops import _cached, semi_join_keys
+
+    id_df = pairs.select_columns([id_a, id_b]).to_pandas()
+    ids = np.unique(np.concatenate([id_df[id_a].to_numpy(), id_df[id_b].to_numpy()])) \
+        if len(id_df) else np.empty(0, np.int64)
+    cand = semi_join_keys(
+        docs.select_columns([doc_id_col, text_col]), ids, doc_id_col
+    ).to_pandas()
+    shingles = {
+        i: frozenset(_shingle_hashes(t, k).tolist())
+        for i, t in zip(cand[doc_id_col], cand[text_col])
+    }
+    ref = ray.put(shingles)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        sh = _cached(("verify_shingles", ref.hex()), lambda: ray.get(ref))
+        aa = batch[id_a].to_pylist()
+        bb = batch[id_b].to_pylist()
+        jac = np.array(
+            [len(sh[x] & sh[y]) / len(sh[x] | sh[y]) for x, y in zip(aa, bb)],
+            np.float64,
+        ) if len(aa) else np.empty(0, np.float64)
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array(jac >= threshold))
+
+    return pairs.map_batches(_verify, batch_format="pyarrow")
+
+
 def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard similarity (the verify step for LSH
     candidates, and a standalone operator)."""

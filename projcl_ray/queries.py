@@ -796,10 +796,42 @@ def q_simhash(sf_dir: str):
     return dedup.add_simhash(ds).select_columns(["doc_id", "simhash"])
 
 
-@q("dedup_minhash_lsh")  # rows-only
+@q("dedup_minhash_lsh")  # candidate set is perm-RNG-dependent — rows-only
 def q_minhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup.minhash_lsh_candidates(ds, concurrency=2)
+
+
+@q(
+    "dedup_verified_neardups",
+    """
+WITH d AS (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS t
+           FROM documents WHERE doc_id < 1000),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM d),
+grams AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
+nc AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (na.ng + nb.ng - ni) AS jac
+      FROM inter JOIN nc na ON na.doc_id = id_a JOIN nc nb ON nb.doc_id = id_b)
+SELECT id_a, id_b, CAST(floor(jac*10000.0 + 0.5) AS BIGINT) AS jac_q
+FROM j WHERE jac >= 0.8
+""",
+)
+def q_verified_neardups(sf_dir: str):
+    """End-to-end near-dup pipeline: MinHash-LSH candidates → exact k-gram
+    Jaccard verification, against the brute-force all-pairs SQL answer.
+    Hash-equality holds because every qualifying pair in this corpus has
+    J ≥ 0.989 where 64-perm/16-band LSH recall is 1 − 4e-23 (sub-threshold
+    candidates the LSH surfaces are removed by the exact verify step).
+    Scope is doc_id < 1000 to keep the O(n²) oracle tractable at any sf."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id < 1000")
+    pairs = dedup.minhash_lsh_candidates(ds, concurrency=2)
+    ver = dedup.verify_candidates(pairs, ds, threshold=0.8).to_pandas()
+    ver["jac_q"] = np.floor(ver["jaccard"].to_numpy(np.float64) * 10000.0 + 0.5).astype(np.int64)
+    return ver[["id_a", "id_b", "jac_q"]]
 
 
 @q(

@@ -222,3 +222,24 @@ def test_cosine_dup_lsh_finds_planted_pairs(ray_session):
     assert len(lsh_pairs) >= 9
     planted = {(2 * i, 2 * i + 1) for i in range(10)}
     assert len(lsh_pairs & planted) >= 9
+
+
+def test_verify_candidates_matches_exact_allpairs(ray_session, sf_dir):
+    """LSH candidates → exact Jaccard verify must equal brute-force all-pairs
+    at a threshold above the corpus's candidate-recall margin."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pdf = ds.to_pandas()
+    sets = {i: set(dedup._shingle_hashes(t).tolist())
+            for i, t in zip(pdf["doc_id"], pdf["text"])}
+    ids = sorted(sets)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
+    }
+    pairs = dedup.minhash_lsh_candidates(ds, concurrency=1)
+    got = dedup.verify_candidates(pairs, ds, threshold=0.8).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])} == exact
+    assert (got["jaccard"] >= 0.8).all()
