@@ -285,22 +285,49 @@ FROM r
 # --- inverse projection round-trip (oracle: identity at 1e-4° quantization) --
 
 
-@q(
-    "project_tmerc_sphere_roundtrip",
-    f"""
+_IDENTITY_SQL = f"""
 SELECT l_orderkey, l_partkey,
   CAST(floor(lon * 10000.0 + 0.5) AS BIGINT) AS lon_q,
   CAST(floor(lat * 10000.0 + 0.5) AS BIGINT) AS lat_q
 FROM ({PTS_SQL})
-""",
-)
-def q_tmerc_roundtrip(sf_dir: str):
-    ds = ops.project_points(derive_points(sf_dir), "transverse_mercator", spheroid="WGS_84")
-    ds = ops.project_points(ds, "transverse_mercator", spheroid="WGS_84", inverse=True,
-                            lon_col="lon_rt", lat_col="lat_rt")
-    df = ds.select_columns(["l_orderkey", "l_partkey", "lon_rt", "lat_rt"]).to_pandas()
-    df = _quant_df(df, {"lon_rt": 1e4, "lat_rt": 1e4})
-    return df.rename(columns={"lon_rt": "lon_q", "lat_rt": "lat_q"})
+"""
+
+
+def _roundtrip_query(proj_name: str, **param_kw):
+    """Forward→inverse round trip vs the identity oracle: the derived lons
+    are exact 1e-4-degree lattice points, so round-to-nearest quantization
+    tolerates any inverse-iteration residual below 5e-5° (Newton/fixed-point
+    inverses converge to ~1e-12°). One such query per projection puts every
+    INVERSE kernel under the driver gate, not just pytest."""
+
+    def run(sf_dir: str):
+        ds = ops.project_points(derive_points(sf_dir), proj_name, **param_kw)
+        ds = ops.project_points(ds, proj_name, inverse=True,
+                                lon_col="lon_rt", lat_col="lat_rt", **param_kw)
+        df = ds.select_columns(["l_orderkey", "l_partkey", "lon_rt", "lat_rt"]).to_pandas()
+        df = _quant_df(df, {"lon_rt": 1e4, "lat_rt": 1e4})
+        return df.rename(columns={"lon_rt": "lon_q", "lat_rt": "lat_q"})
+
+    return run
+
+
+for _name, _proj, _kw in (
+    ("project_tmerc_sphere_roundtrip", "transverse_mercator", dict(spheroid="WGS_84")),
+    ("project_mercator_ell_roundtrip", "mercator", dict(spheroid="WGS_84")),
+    ("project_lcc_ell_roundtrip", "lambert_conformal_conic",
+     dict(spheroid="WGS_84", rlat1=30, rlat2=60)),
+    ("project_albers_ell_roundtrip", "albers_equal_area",
+     dict(spheroid="WGS_84", rlat1=30, rlat2=60)),
+    ("project_laea_ell_roundtrip", "lambert_azimuthal_equal_area", dict(spheroid="WGS_84")),
+    ("project_polyconic_ell_roundtrip", "american_polyconic",
+     dict(spheroid="WGS_84", lat0=10.0)),
+    ("project_winkel_roundtrip", "winkel_tripel", dict(spheroid="SPHERE")),
+    ("project_robinson_roundtrip", "robinson", dict(spheroid="SPHERE")),
+    ("project_stereographic_roundtrip", "oblique_stereographic",
+     dict(spheroid="WGS_84", lat0=10.0)),
+):
+    QUERIES[_name] = _roundtrip_query(_proj, **_kw)
+    ORACLES[_name] = _IDENTITY_SQL
 
 
 # ---------------------------------------------------------------------------
