@@ -1187,23 +1187,77 @@ def distributed_quantiles(
     return out
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit key hashes (double hashing
+    h1 + i·h2, Kirsch–Mitzenmacher): the broadcastable stand-in for an exact
+    key set when the set itself would strain the object store. Sized from the
+    standard m = −n·ln p/ln²2, k = (m/n)·ln 2 formulas."""
+
+    def __init__(self, n_keys: int, fpr: float = 0.01):
+        n_keys = max(int(n_keys), 1)
+        m = int(np.ceil(-n_keys * np.log(fpr) / (np.log(2.0) ** 2)))
+        self.m = max(m, 64)
+        self.k = max(1, int(round(self.m / n_keys * np.log(2.0))))
+        self.bits = np.zeros((self.m + 63) // 64, np.uint64)
+
+    def _h12(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h = hash_key_u64(keys)
+        h1 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = ((h >> np.uint64(29)) ^ h) * np.uint64(0xC4CEB9FE1A85EC53) | np.uint64(1)
+        return h1, h2
+
+    def add(self, keys) -> "BloomFilter":
+        h1, h2 = self._h12(keys)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return self
+
+    def might_contain(self, keys) -> np.ndarray:
+        h1, h2 = self._h12(keys)
+        out = np.ones(len(h1), bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
 def semi_join_keys(
     ds: ray.data.Dataset,
     keys,
     key_col: str,
     *,
     anti: bool = False,
+    bloom_fpr: float | None = None,
     batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """Semi/anti join against a broadcast key set (the guide's pattern for
     one-small-side joins): the key set ships once via ray.put, each batch
     filters with a vectorized np.isin. ``anti=True`` keeps non-matching rows.
-    At 100 TB scale swap the exact set for a Bloom filter — same plumbing."""
-    ref = ray.put(np.unique(np.asarray(keys)))
+
+    ``bloom_fpr`` switches the broadcast to a :class:`BloomFilter` (~10 bits
+    per key at 1% FPR vs 8+ bytes for the exact set) — the 100 TB pre-filter:
+    the SEMI join then passes ≤ fpr extra rows (follow with an exact join if
+    exactness matters); an ANTI join would DROP true rows on false positives,
+    so it stays exact-set only (ValueError)."""
+    if bloom_fpr is not None:
+        if anti:
+            raise ValueError("Bloom pre-filter would drop rows on false "
+                             "positives — anti joins require the exact set")
+        uk = np.unique(np.asarray(keys))
+        ref = ray.put(BloomFilter(len(uk), bloom_fpr).add(uk))
+    else:
+        ref = ray.put(np.unique(np.asarray(keys)))
 
     def _filter(batch: pa.Table) -> pa.Table:
         keyset = _cached(("semijoin", ref.hex()), lambda: ray.get(ref))
-        mask = np.isin(np.asarray(batch[key_col]), keyset)
+        col = np.asarray(batch[key_col])
+        if isinstance(keyset, BloomFilter):
+            mask = keyset.might_contain(col)
+        else:
+            mask = np.isin(col, keyset)
         if anti:
             mask = ~mask
         # Table.filter keeps the typed schema on empty results (no

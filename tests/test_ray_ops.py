@@ -325,3 +325,29 @@ def test_distributed_quantiles_exact(ray_session, sf_dir):
     got = ops.distributed_quantiles(sk, "v", qs, n_splits=16, max_collect=1000)
     exp = ops.exact_quantiles(sk, "v", qs, driver_concat=True)
     assert got == exp
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session, sf_dir):
+    """Bloom pre-filter: every true member passes (zero false negatives),
+    false-positive rate near the requested bound, anti+bloom rejected."""
+    import ray.data as rd
+
+    from projcl_ray.ops import BloomFilter
+
+    rng = np.random.default_rng(3)
+    members = rng.choice(1_000_000, 20_000, replace=False)
+    bf = BloomFilter(len(members), fpr=0.01).add(members)
+    assert bf.might_contain(members).all()  # no false negatives, ever
+    non = np.setdiff1d(rng.choice(4_000_000, 100_000, replace=False) + 1_000_000, members)
+    fpr = bf.might_contain(non).mean()
+    assert fpr < 0.02, fpr
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = orders.to_pandas()["o_custkey"].unique()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    exact = ops.semi_join_keys(cust, keys, "c_custkey").count()
+    bloom = ops.semi_join_keys(cust, keys, "c_custkey", bloom_fpr=0.01).count()
+    assert bloom >= exact  # superset: no true row dropped
+    assert bloom <= exact + int(0.02 * cust.count()) + 1
+    with pytest.raises(ValueError):
+        ops.semi_join_keys(cust, keys, "c_custkey", anti=True, bloom_fpr=0.01)
