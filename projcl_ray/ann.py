@@ -290,6 +290,48 @@ def train_centroids(ds: ray.data.Dataset, n_centroids: int, *,
     return c
 
 
+def build_ivf_index(ds: ray.data.Dataset, centroids: np.ndarray, out_dir: str, *,
+                    emb_col: str = "embedding") -> None:
+    """Materialize the corpus partitioned by IVF bucket
+    (``ivf_bucket=<b>/...parquet``) so a probe reads ONLY its nprobe buckets
+    from storage — partition pruning at the read (the 100 TB path), instead
+    of scanning everything and filtering."""
+    ivf_assign(ds, centroids, emb_col=emb_col).write_parquet(
+        out_dir, partition_cols=["ivf_bucket"]
+    )
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    query_ids,
+    query_matrix: np.ndarray,
+    k: int,
+    centroids: np.ndarray,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k over a :func:`build_ivf_index` directory: only the
+    union of every query's nprobe nearest buckets is READ; identical results
+    to :func:`ivf_topk` on the same centroids."""
+    import os
+
+    c = _normalize(np.asarray(centroids, np.float32))
+    q = _normalize(np.asarray(query_matrix, np.float32))
+    probes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for b in probes.ravel()})
+    dirs = [p for p in (os.path.join(index_dir, f"ivf_bucket={b}") for b in wanted)
+            if os.path.isdir(p)]
+    if not dirs:
+        raise FileNotFoundError(f"no probed bucket dirs under {index_dir}")
+    # read_parquet expands ONE directory but not a list of them — list files
+    files = [os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    pruned = ray.data.read_parquet(files, columns=[id_col, emb_col])
+    return ann_brute_topk(pruned, query_ids, query_matrix, k, id_col=id_col, emb_col=emb_col)
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     query_ids,

@@ -80,4 +80,7 @@ def read_tile_buckets(out_dir: str, cells: np.ndarray, *, n_buckets: int = 64) -
         if not any_bucket:
             raise FileNotFoundError(f"no bucket dirs under {out_dir}")
         return rd.read_parquet(any_bucket[:1]).limit(0)
-    return rd.read_parquet(paths)
+    # read_parquet expands ONE directory but not a list of them — list files
+    files = [os.path.join(p, f) for p in paths for f in sorted(os.listdir(p))
+             if f.endswith(".parquet")]
+    return rd.read_parquet(files)

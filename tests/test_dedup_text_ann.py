@@ -243,3 +243,24 @@ def test_verify_candidates_matches_exact_allpairs(ray_session, sf_dir):
     got = dedup.verify_candidates(pairs, ds, threshold=0.8).to_pandas()
     assert {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])} == exact
     assert (got["jaccard"] >= 0.8).all()
+
+
+def test_ivf_indexed_matches_filter_path(ray_session, sf_dir, tmp_path):
+    """Partition-pruned IVF probe (reads only nprobe bucket dirs) must return
+    exactly what the scan-and-filter path returns for the same centroids."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = ds.to_pandas()
+    q_ids = pdf["vec_id"].to_numpy()[:4]
+    q = np.stack(pdf["embedding"].to_numpy()[:4]).astype(np.float32)
+    cents = ann.train_centroids(ds, 8, seed=0)
+    idx_dir = str(tmp_path / "ivf")
+    ann.build_ivf_index(ds, cents, idx_dir)
+    a = ann.ivf_topk_indexed(idx_dir, q_ids, q, k=5, centroids=cents, nprobe=3).to_pandas()
+    b = ann.ivf_topk(ds, q_ids, q, k=5, centroids=cents, nprobe=3).to_pandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
