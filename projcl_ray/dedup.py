@@ -346,6 +346,109 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-LUT; NumPy <2 has no bitwise_count)."""
+    a = np.ascontiguousarray(a, np.uint64)
+    return _POP8[a.view(np.uint8).reshape(a.shape + (8,))].sum(axis=-1).astype(np.int64)
+
+
+def simhash_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming`` —
+    EXACT (100% recall) via pigeonhole banding: the 64 bits split into
+    ``max_hamming + 1`` bands, and any pair within distance d must match at
+    least one band exactly, so banded bucketing misses nothing. Buckets
+    verify with a vectorized popcount. Only (id, simhash, band) rows shuffle
+    — never text; bounded groups scale with corpus size.
+
+    Emits (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from .ops import _adaptive_parts, _cached, hash_key_u64
+
+    bands = max_hamming + 1
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    offs = np.cumsum([0] + widths[:-1])
+    if n_parts is None:
+        n_parts = _adaptive_parts(ds.count() * bands)
+    pp_parts = max(64, n_parts // 4)
+
+    hashed = add_simhash(ds.select_columns([id_col, text_col]), text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_b, out_v = [], []
+        for b in range(bands):
+            mask = np.uint64((1 << widths[b]) - 1)
+            out_b.append(np.full(len(h), b, np.int32))
+            out_v.append(((h >> np.uint64(offs[b])) & mask).astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_b), pa.int32()),
+                "band_val": pa.array(np.concatenate(out_v), pa.int64()),
+                id_col: pa.array(np.tile(ids, bands)),
+                "simhash": pa.array(np.tile(h, bands).view(np.int64), pa.int64()),
+            }
+        )
+
+    buckets = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(127)
+            + batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return batch.append_column("part", pa.array((key % n_parts).astype(np.int64)))
+
+    def emit(group):
+        import pandas as pd
+
+        g = group[["band", "band_val", id_col, "simhash"]]
+        m = g.merge(g, on=["band", "band_val"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                                 "id_b": pd.Series([], dtype=g[id_col].dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        hx = m["simhash_x"].to_numpy().view(np.uint64)
+        hy = m["simhash_y"].to_numpy().view(np.uint64)
+        hd = popcount64(np.bitwise_xor(hx, hy))
+        m = m.assign(hamming=hd)[hd <= max_hamming]
+        out = m[[f"{id_col}_x", f"{id_col}_y", "hamming"]].drop_duplicates(
+            [f"{id_col}_x", f"{id_col}_y"]
+        )
+        out.columns = ["id_a", "id_b", "hamming"]
+        return out
+
+    pairs = buckets.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        emit, batch_format="pandas"
+    )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        a = hash_key_u64(batch["id_a"].to_numpy(zero_copy_only=False))
+        b = hash_key_u64(batch["id_b"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "pp", pa.array(((a * np.uint64(1000003) + b) % np.uint64(pp_parts)).astype(np.int64))
+        )
+
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]), batch_format="pandas")
+        .drop_columns(["pp"])
+    )
+
+
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
                 out: str = "simhash") -> ray.data.Dataset:
     def _s(batch: pa.Table) -> pa.Table:

@@ -803,24 +803,50 @@ def q_fingerprint(sf_dir: str):
     return text.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
 
-@q(
-    "dedup_simhash",
-    f"""
-WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+def _simhash_cte(where: str = "") -> str:
+    """CTE chain computing each document's simhash (md5_number_upper token
+    votes — bit-identical to dedup._simhash_batch); ends with relation
+    ``sim(doc_id, simhash)``."""
+    return f"""
+toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         FROM documents {where}),
 bits AS (SELECT doc_id, g.b AS b,
     SUM(CASE WHEN (md5_number_upper(tok) >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
   FROM toks CROSS JOIN generate_series(0, 63) g(b) GROUP BY doc_id, g.b),
 v AS (SELECT doc_id,
     SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS hval
   FROM bits GROUP BY doc_id),
-x AS (SELECT doc_id, CAST(hval AS UHUGEINT) AS uval FROM v)
-SELECT d.doc_id, {_I64_FLIP} AS simhash
-FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
-""",
-)
+x AS (SELECT doc_id, CAST(hval AS UHUGEINT) AS uval FROM v),
+sim AS (SELECT d.doc_id, {_I64_FLIP} AS simhash
+  FROM (SELECT doc_id FROM documents {where}) d LEFT JOIN x ON x.doc_id = d.doc_id)
+"""
+
+
+@q("dedup_simhash", f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim")
 def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup.add_simhash(ds).select_columns(["doc_id", "simhash"])
+
+
+@q(
+    "dedup_simhash_neardups",
+    f"""
+WITH {_simhash_cte("WHERE doc_id < 1000")}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_neardups(sf_dir: str):
+    """SimHash hamming-≤3 pairs via EXACT pigeonhole banding (4 bands; any
+    pair within distance 3 matches ≥1 band) vs the brute-force all-pairs SQL.
+    Scope doc_id < 1000 keeps the O(n²) oracle tractable at any sf."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id < 1000")
+    out = dedup.simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out[["id_a", "id_b", "hamming"]]
 
 
 @q("dedup_minhash_lsh")  # candidate set is perm-RNG-dependent — rows-only

@@ -264,3 +264,25 @@ def test_ivf_indexed_matches_filter_path(ray_session, sf_dir, tmp_path):
     b = b.sort_values(key).reset_index(drop=True)
     assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
     np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
+
+
+def test_simhash_neardup_banding_is_exact(ray_session, sf_dir):
+    """Pigeonhole banding must find EVERY pair within the hamming budget
+    (100% recall by construction) and nothing beyond it."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pdf = ds.to_pandas()
+    h = dedup._simhash_batch(pdf["text"].tolist()).astype(np.uint64)
+    x = np.bitwise_xor(h[:, None], h[None, :])
+    pop = dedup.popcount64(x)
+    iu, ju = np.triu_indices(len(h), 1)
+    ids = pdf["doc_id"].to_numpy()
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): int(pop[i, j])
+        for i, j in zip(iu[pop[iu, ju] <= 3], ju[pop[iu, ju] <= 3])
+    }
+    got = dedup.simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+    got_map = {(int(a), int(b)): int(hm)
+               for a, b, hm in zip(got["id_a"], got["id_b"], got["hamming"])}
+    assert got_map == exact
