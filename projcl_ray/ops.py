@@ -362,6 +362,56 @@ class WarpTileActor:
         )
 
 
+def resize_images(
+    ds: ray.data.Dataset,
+    out_w: int,
+    out_h: int,
+    *,
+    filter: str = "bilinear",
+    bytes_col: str = "bytes",
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-size image resize — the model-input normalization stage of a
+    training-data pipeline: decode → center-aligned sampling with the
+    reference's filters (nearest/bilinear/bicubic/quasi_bicubic) → encode.
+    Stateless tasks over small batches (rows are wide); bytes/w/h columns are
+    replaced in place, everything else passes through."""
+    from .warp import SAMPLERS
+
+    sampler = SAMPLERS[filter]
+
+    def _resize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bufs, ws, hs, fmts = (batch[c].to_pylist() for c in (bytes_col, "w", "h", "fmt"))
+        out_bufs = []
+        # center-aligned mapping: output pixel center (i+0.5) → source
+        # (i+0.5)·scale − 0.5 (the standard align-centers convention)
+        gx = (np.arange(out_w, dtype=np.float64) + 0.5)[None, :]
+        gy = (np.arange(out_h, dtype=np.float64) + 0.5)[:, None]
+        for i in range(n):
+            img = decode_image(bufs[i], ws[i], hs[i], fmts[i])
+            px = np.broadcast_to(gx * (ws[i] / out_w) - 0.5, (out_h, out_w))
+            py = np.broadcast_to(gy * (hs[i] / out_h) - 0.5, (out_h, out_w))
+            with np.errstate(all="ignore"):
+                res = sampler(img, px, py)
+            out_bufs.append(encode_image(np.clip(res, 0, 255).astype(np.uint8)))
+        cols = {}
+        for name in batch.column_names:
+            if name == bytes_col:
+                cols[name] = pa.array(out_bufs, pa.binary())
+            elif name == "w":
+                cols[name] = pa.array(np.full(n, out_w, np.int32), pa.int32())
+            elif name == "h":
+                cols[name] = pa.array(np.full(n, out_h, np.int32), pa.int32())
+            elif name == "fmt":
+                cols[name] = pa.array(["raw"] * n, pa.string())
+            else:
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+    return ds.map_batches(_resize, batch_format="pyarrow", batch_size=batch_size)
+
+
 def warp_and_tile(
     ds: ray.data.Dataset,
     proj_name: str,

@@ -710,6 +710,22 @@ def q_token_count(sf_dir: str):
     )
 
 
+@q(
+    "text_token_count_bpe",
+    r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_count_bpe(sf_dir: str):
+    """BPE-style pre-tokenization count (letter/digit/punctuation runs)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = text.add_token_count(ds, out="n_bpe_tokens", method="bpe")
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 _STOP_ALL = sorted(frozenset().union(*text.STOPWORDS.values()))
 _STOP_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
 

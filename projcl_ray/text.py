@@ -80,15 +80,26 @@ class LangIdActor:
         return batch
 
 
+# token-count modes: plain whitespace runs, and a BPE-style pre-tokenization
+# (letter runs / digit runs / punctuation runs — the lookahead-free variant of
+# the GPT-2 pre-tokenizer, so Python re, Arrow RE2 and DuckDB RE2 all agree)
+TOKEN_PATTERNS = {
+    "whitespace": r"\S+",
+    "bpe": r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+",
+}
+
+
 def add_token_count(ds: ray.data.Dataset, text_col: str = "text",
-                    out: str = "n_tokens") -> ray.data.Dataset:
-    """Whitespace token count — one vectorized Arrow RE2 kernel per batch
-    (no per-row Python), identical semantics to DuckDB's
-    len(regexp_extract_all(text, '\\S+')) oracle (both are RE2)."""
+                    out: str = "n_tokens", method: str = "whitespace") -> ray.data.Dataset:
+    """Token count — one vectorized Arrow RE2 kernel per batch (no per-row
+    Python), identical semantics to DuckDB's
+    len(regexp_extract_all(text, <pattern>)) oracle (both are RE2)."""
     import pyarrow.compute as pc
 
+    pattern = TOKEN_PATTERNS[method]
+
     def _c(batch: pa.Table) -> pa.Table:
-        counts = pc.cast(pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64())
+        counts = pc.cast(pc.count_substring_regex(batch[text_col], pattern), pa.int64())
         return batch.append_column(out, counts)
 
     return ds.map_batches(_c, batch_format="pyarrow")

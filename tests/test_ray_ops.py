@@ -351,3 +351,27 @@ def test_bloom_semi_join_no_false_negatives(ray_session, sf_dir):
     assert bloom <= exact + int(0.02 * cust.count()) + 1
     with pytest.raises(ValueError):
         ops.semi_join_keys(cust, keys, "c_custkey", anti=True, bloom_fpr=0.01)
+
+
+def test_resize_images_shapes_and_filters(ray_session):
+    """Resize stage: exact output shape, all four filters run, identity-size
+    bilinear resize is a no-op on the pixels, passthrough columns survive."""
+    import ray.data as rd
+
+    from projcl_ray.images import decode_image, synth_images_table
+
+    ds = rd.from_arrow(synth_images_table(6, seed=1))
+    for filt in ("nearest", "bilinear", "bicubic", "quasi_bicubic"):
+        out = ops.resize_images(ds, 32, 24, filter=filt).to_pandas()
+        assert (out["w"] == 32).all() and (out["h"] == 24).all()
+        img = decode_image(out["bytes"].iloc[0], 32, 24, "raw")
+        assert img.shape == (24, 32, 4)
+        assert "caption" in out.columns  # passthrough preserved
+    # identity resize (same size, bilinear) must reproduce the source pixels
+    src = synth_images_table(1, seed=2)
+    w, h = src["w"][0].as_py(), src["h"][0].as_py()
+    out = ops.resize_images(rd.from_arrow(src), w, h).to_pandas()
+    np.testing.assert_array_equal(
+        decode_image(out["bytes"].iloc[0], w, h, "raw"),
+        decode_image(src["bytes"][0].as_py(), w, h, "raw"),
+    )
