@@ -298,6 +298,57 @@ def verify_candidates(
     return pairs.map_batches(_verify, batch_format="pyarrow")
 
 
+def dup_components(
+    ids_ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> ray.data.Dataset:
+    """The keep/drop decision that ends a dedup pipeline: connected
+    components over the (verified) duplicate-pair graph. Every id gets
+    ``component_id`` = the minimum id reachable through duplicate pairs
+    (singletons map to themselves); keep rule = ``id == component_id``.
+
+    Scale shape: the pair graph is orders of magnitude smaller than the
+    corpus (it only contains near-duplicates), so union-find runs driver-side
+    over the collected pairs — bounded by the duplicate volume, like
+    :func:`verify_candidates` — and the id→component relabeling broadcasts
+    back through one vectorized ``map_batches`` over the full id column.
+    """
+    pdf = pairs.select_columns([pair_a, pair_b]).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf[pair_a], pdf[pair_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id (the canonical representative)
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    label = {x: find(x) for x in list(parent)}
+    ref = ray.put(label)
+
+    def _relabel(batch: pa.Table) -> pa.Table:
+        from .ops import _cached
+
+        lbl = _cached(("dupcomp", ref.hex()), lambda: ray.get(ref))
+        ids = batch[id_col].to_pylist()
+        return batch.append_column(
+            "component_id", pa.array([lbl.get(i, i) for i in ids],
+                                     batch.schema.field(id_col).type)
+        )
+
+    return ids_ds.map_batches(_relabel, batch_format="pyarrow")
+
+
 def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard similarity (the verify step for LSH
     candidates, and a standalone operator)."""

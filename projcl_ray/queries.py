@@ -871,10 +871,8 @@ def q_minhash(sf_dir: str):
     return dedup.minhash_lsh_candidates(ds, concurrency=2)
 
 
-@q(
-    "dedup_verified_neardups",
-    """
-WITH d AS (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS t
+_GRAM_JACCARD_CTE = """
+d AS (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS t
            FROM documents WHERE doc_id < 1000),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM d),
 grams AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
@@ -884,6 +882,13 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
           GROUP BY 1, 2),
 j AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (na.ng + nb.ng - ni) AS jac
       FROM inter JOIN nc na ON na.doc_id = id_a JOIN nc nb ON nb.doc_id = id_b)
+"""
+
+
+@q(
+    "dedup_verified_neardups",
+    f"""
+WITH {_GRAM_JACCARD_CTE}
 SELECT id_a, id_b, CAST(floor(jac*10000.0 + 0.5) AS BIGINT) AS jac_q
 FROM j WHERE jac >= 0.8
 """,
@@ -1146,6 +1151,32 @@ def q_fixed_angle(sf_dir: str):
     df = out.select_columns(["l_orderkey", "l_partkey", "lon2", "lat2"]).to_pandas()
     df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
     return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
+
+
+@q(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {_GRAM_JACCARD_CTE},
+e0 AS (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.8),
+edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS doc_id, MIN(dst) AS component_id
+FROM reach GROUP BY src
+""",
+)
+def q_dedup_components(sf_dir: str):
+    """Full near-dup dedup decision: LSH candidates → exact verify →
+    connected components; every doc labeled with its canonical (minimum
+    reachable) id, vs a recursive-CTE transitive closure in SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id < 1000")
+    pairs = dedup.minhash_lsh_candidates(ds, concurrency=2)
+    verified = dedup.verify_candidates(pairs, ds, threshold=0.8)
+    out = dedup.dup_components(ds.select_columns(["doc_id"]), verified)
+    return out.select_columns(["doc_id", "component_id"])
 
 
 @q("dedup_phash_images")  # phash computed by our codec — rows-only

@@ -286,3 +286,21 @@ def test_simhash_neardup_banding_is_exact(ray_session, sf_dir):
     got_map = {(int(a), int(b)): int(hm)
                for a, b, hm in zip(got["id_a"], got["id_b"], got["hamming"])}
     assert got_map == exact
+
+
+def test_dup_components_union_find(ray_session):
+    """Chained pairs must collapse to one component labeled by the minimum
+    id; untouched ids stay their own component."""
+    import ray.data as rd
+
+    ids = rd.from_items([{"doc_id": i} for i in range(10)])
+    pairs = rd.from_items(
+        [{"id_a": 3, "id_b": 7}, {"id_a": 7, "id_b": 9}, {"id_a": 2, "id_b": 5}]
+    )
+    out = dedup.dup_components(ids, pairs).to_pandas().set_index("doc_id")["component_id"]
+    assert out[3] == out[7] == out[9] == 3
+    assert out[2] == out[5] == 2
+    for i in (0, 1, 4, 6, 8):
+        assert out[i] == i
+    keep = {i for i in range(10) if out[i] == i}
+    assert keep == {0, 1, 2, 3, 4, 6, 8}
