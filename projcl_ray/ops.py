@@ -1274,6 +1274,39 @@ class BloomFilter:
         return out
 
 
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    by_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_col: str | None = None,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group — the pre-aggregate-before-shuffle shape: each
+    batch keeps only its LOCAL top-k per key (a mergeable partial, so a hot
+    key contributes ≤ k rows per batch to the shuffle instead of all its
+    rows), then a small per-key merge finishes. Ties in ``by_col`` break by
+    ``tie_col`` ascending (matching SQL's ROW_NUMBER ORDER BY ... , tie)."""
+    import pandas as pd
+
+    tie = [tie_col] if tie_col else []
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values([by_col] + tie, ascending=[not descending] + [True] * len(tie),
+                              kind="stable")
+        return g.groupby(key_col, sort=False).head(k)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([by_col] + tie, ascending=[not descending] + [True] * len(tie),
+                              kind="stable").head(k)
+        return g.assign(group_rank=np.arange(len(g), dtype=np.int32))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
 def semi_join_keys(
     ds: ray.data.Dataset,
     keys,

@@ -1042,6 +1042,31 @@ def q_top_orders(sf_dir: str):
 
 
 @q(
+    "topk_orders_per_priority",
+    """
+WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+SELECT o_orderpriority, o_orderkey,
+  CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS price_c,
+  CAST(rk - 1 AS BIGINT) AS group_rank
+FROM r WHERE rk <= 3
+""",
+)
+def q_topk_per_group(sf_dir: str):
+    """Grouped top-k via the per-batch-partial combiner (a hot group ships
+    ≤ k rows per batch, never its full volume)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = ops.topk_per_group(ds, "o_orderpriority", "o_totalprice", 3,
+                             tie_col="o_orderkey").to_pandas()
+    out["price_c"] = np.floor(out["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    out["group_rank"] = out["group_rank"].astype(np.int64)
+    return out[["o_orderpriority", "o_orderkey", "price_c", "group_rank"]]
+
+
+@q(
     "events_hourly_window",
     """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -375,3 +375,20 @@ def test_resize_images_shapes_and_filters(ray_session):
         decode_image(out["bytes"].iloc[0], w, h, "raw"),
         decode_image(src["bytes"][0].as_py(), w, h, "raw"),
     )
+
+
+def test_topk_per_group_combiner_matches_pandas(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    got = ops.topk_per_group(ds, "o_orderpriority", "o_totalprice", 5,
+                             tie_col="o_orderkey").to_pandas()
+    pdf = ds.to_pandas().sort_values(["o_totalprice", "o_orderkey"],
+                                     ascending=[False, True], kind="stable")
+    exp = pdf.groupby("o_orderpriority", sort=False).head(5)
+    key = ["o_orderpriority", "o_orderkey"]
+    assert sorted(map(tuple, got[key].to_numpy())) == sorted(map(tuple, exp[key].to_numpy()))
+    assert (got.sort_values(["o_orderpriority", "group_rank"])
+               .groupby("o_orderpriority")["o_totalprice"]
+               .apply(lambda s: (s.diff().dropna() <= 0).all()).all())
