@@ -822,7 +822,7 @@ def knn_join_large(
                     {
                         query_id_col: pd.Series([group[query_id_col].iloc[0]], dtype=qid_np),
                         target_id_col: pd.Series([tid_filler], dtype=tid_np),
-                        "dist": [np.inf],
+                        "distance_m": [np.inf],
                         "neighbor_rank": np.array([-1], np.int32),
                         "knn_done": [False],
                     }
@@ -831,7 +831,7 @@ def knn_join_large(
                 {
                     query_id_col: g[query_id_col].to_numpy().astype(qid_np),
                     target_id_col: g[target_id_col].to_numpy().astype(tid_np),
-                    "dist": g["dist"].to_numpy(np.float64),
+                    "distance_m": g["dist"].to_numpy(np.float64),
                     "neighbor_rank": np.arange(len(g), dtype=np.int32),
                     "knn_done": np.full(len(g), done),
                 }
@@ -871,7 +871,7 @@ def knn_join_large(
     out = results[0]
     for r in results[1:]:
         out = out.union(r)
-    return out.rename_columns({"dist": "distance_m"})
+    return out
 
 
 def forward_geodesic_fixed_angle(
