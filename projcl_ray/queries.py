@@ -601,6 +601,28 @@ def q_cell_counts(sf_dir: str):
     return ds.groupby("cell_id").aggregate(Count(alias_name="n"))
 
 
+@q("salted_cell_counts")
+def q_salted_cell_counts(sf_dir: str):
+    """Skew machinery under the gate: count pre-pass → salt hot cells →
+    aggregate on the salted key → de-salt and merge — must reproduce the
+    plain (unsalted) per-cell counts exactly."""
+    ds = ops.assign_cells(derive_points(sf_dir), res_deg=DEFAULT_RES_DEG)
+    pre = ops.cell_counts(ds, "cell_id")  # combiner pre-pass (driver merge)
+    cut = float(pre["n"].quantile(0.95))
+    hot = {int(r["cell_id"]): 8 for _, r in pre.iterrows() if r["n"] > cut}
+    if not hot:  # degenerate tiny inputs: salt the max cell anyway
+        hot = {int(pre.loc[pre["n"].idxmax(), "cell_id"]): 8}
+    salted = ops.salt_hot_keys(ds, "cell_id", hot, hash_col="l_orderkey")
+    agg = salted.groupby("salted_key").aggregate(Count(alias_name="pn")).to_pandas()
+    max_fanout = max(hot.values())
+    agg["cell_id"] = agg["salted_key"].to_numpy() // max_fanout
+    out = agg.groupby("cell_id", as_index=False)["pn"].sum().rename(columns={"pn": "n"})
+    return out
+
+
+ORACLES["salted_cell_counts"] = ORACLES["cell_assign_counts"]  # same answer, salted path
+
+
 @q("pip_join_boxes", None)  # oracle attached below (built from the same box math)
 def q_pip_boxes(sf_dir: str):
     ds = derive_points(sf_dir)
