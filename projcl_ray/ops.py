@@ -1274,6 +1274,94 @@ class BloomFilter:
         return out
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    right_suffix: str = "_ref",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed AS-OF join (DuckDB `ASOF JOIN` semantics, inner): each
+    left row matches the LATEST right row of the same ``by`` key with
+    ``right.on <= left.on``; left rows with no earlier right row drop.
+
+    Scale shape: both sides hash-partition on the ``by`` key into bounded
+    groups (count-adaptive like sessionize), and each part runs ONE
+    vectorized ``pandas.merge_asof`` — the classic feature-join for
+    training-data pipelines (attach the most recent profile/stats row to
+    every event) without ever materializing either table globally.
+    Right-side non-key columns are suffixed; right numeric columns arrive as
+    float64 (null-tolerant across parts). Ties in right ``on`` within a key
+    are the caller's to break (pre-aggregate right to unique (by, on))."""
+    import pandas as pd
+
+    if n_parts is None:
+        n_parts = _adaptive_parts(left.count() + right.count())
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_val_cols = [c for c in r_schema.names if c not in (on, by)]
+    r_out = {c: c + right_suffix if c in l_cols else c for c in r_val_cols}
+    on_ref = on + right_suffix  # right's own timestamp, kept as a value col
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("asof_role", pa.array(np.zeros(n, np.int8)))
+        for c in r_val_cols:
+            batch = batch.append_column(r_out[c], pa.array([None] * n, pa.float64()))
+        batch = batch.append_column(on_ref, pa.array([None] * n, l_schema.base_schema.field(on).type))
+        return batch.select(sorted(batch.column_names))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {by: batch[by], on: batch[on], on_ref: batch[on]}
+        for c in r_val_cols:
+            out[r_out[c]] = pa.compute.cast(batch[c], pa.float64())
+        t = pa.table(out)
+        t = t.append_column("asof_role", pa.array(np.ones(n, np.int8)))
+        for c in l_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.array([None] * n, l_schema.base_schema.field(c).type))
+        return t.select(sorted(t.column_names))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (hash_key_u64(np.asarray(batch[by])) * np.uint64(2654435761)) % np.uint64(n_parts)
+        return batch.append_column("asof_part", pa.array(part.astype(np.int64)))
+
+    both = (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .union(right.map_batches(tag_right, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+    )
+
+    out_cols = l_cols + [on_ref] + [r_out[c] for c in r_val_cols]
+    # the union's null-tagged rows upcast left ints to float64 in pandas
+    # groups; restore the declared dtypes on the (null-free) join output
+    l_int_cols = [c for c in l_cols
+                  if pa.types.is_integer(l_schema.base_schema.field(c).type)]
+
+    def _fix_types(df: "pd.DataFrame") -> "pd.DataFrame":
+        for c in l_int_cols:
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    def join_part(group: "pd.DataFrame") -> "pd.DataFrame":
+        lf = group[group["asof_role"] == 0]
+        rf = group[group["asof_role"] == 1]
+        if not len(lf) or not len(rf):
+            return _fix_types(lf.iloc[0:0][out_cols].copy())
+        lf = lf[l_cols].sort_values(on, kind="stable")
+        rf = rf[[by, on, on_ref] + [r_out[c] for c in r_val_cols]].sort_values(on, kind="stable")
+        m = pd.merge_asof(lf, rf, on=on, by=by, direction="backward")
+        m = m[m[on_ref].notna()]  # inner: keep only matched rows
+        return _fix_types(m[out_cols].copy())
+
+    return both.groupby("asof_part").map_groups(join_part, batch_format="pandas")
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key_col: str,

@@ -1452,6 +1452,36 @@ def q_json_extract(sf_dir: str):
 
 
 @q(
+    "asof_join_purchase_click",
+    """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, SUM(value) AS click_value FROM events
+      WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_ref,
+  CAST(floor(l.value*100.0 + 0.5) AS BIGINT) AS value_c,
+  CAST(floor(r.click_value*100.0 + 0.5) AS BIGINT) AS click_c
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join(sf_dir: str):
+    """Feature as-of join: each purchase event picks up the user's most
+    recent click stats (bounded-group merge_asof vs DuckDB's native ASOF
+    JOIN). The right side pre-aggregates to unique (user, ts) so asof ties
+    cannot occur."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    right = (
+        ev.filter(expr="event_type == 'click'")
+        .groupby(["user_id", "ts"]).aggregate(Sum("value", alias_name="click_value"))
+    )
+    out = ops.asof_join(left, right, on="ts", by="user_id").to_pandas()
+    out["value_c"] = np.floor(out["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    out["click_c"] = np.floor(out["click_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return out[["event_id", "user_id", "ts", "ts_ref", "value_c", "click_c"]]
+
+
+@q(
     "quantiles_extendedprice",
     """
 SELECT 'l_extendedprice' AS col,

@@ -392,3 +392,30 @@ def test_topk_per_group_combiner_matches_pandas(ray_session, sf_dir):
     assert (got.sort_values(["o_orderpriority", "group_rank"])
                .groupby("o_orderpriority")["o_totalprice"]
                .apply(lambda s: (s.diff().dropna() <= 0).all()).all())
+
+
+def test_asof_join_matches_pandas(ray_session, sf_dir):
+    """Bounded-group as-of join must equal a global pandas merge_asof."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    right = (ev.filter(expr="event_type == 'click'")
+             .groupby(["user_id", "ts"]).aggregate(Sum("value", alias_name="cv")))
+    got = ops.asof_join(left, right, on="ts", by="user_id").to_pandas()
+
+    lp = left.to_pandas().sort_values("ts", kind="stable")
+    rp = right.to_pandas().sort_values("ts", kind="stable")
+    rp["ts_ref"] = rp["ts"]
+    exp = pd.merge_asof(lp, rp[["user_id", "ts", "ts_ref", "cv"]],
+                        on="ts", by="user_id", direction="backward")
+    exp = exp[exp["ts_ref"].notna()]
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    assert (g["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
+    assert (g["ts_ref"].to_numpy() == e["ts_ref"].to_numpy()).all()
+    np.testing.assert_allclose(g["cv"].to_numpy(), e["cv"].to_numpy())
