@@ -1274,6 +1274,39 @@ class BloomFilter:
         return out
 
 
+def range_join(
+    ds: ray.data.Dataset,
+    intervals: list[tuple],
+    value_col: str,
+    *,
+    id_out: str = "interval_id",
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Non-equi INTERVAL join against a broadcast interval table: each row
+    matches the interval [lo, hi) containing ``value_col``. ``intervals`` is
+    (id, lo, hi) with sorted, non-overlapping ranges, so matching is ONE
+    vectorized searchsorted per batch — the shape of a banding/range join at
+    any corpus size (the interval table is small by nature; rows outside
+    every interval drop, i.e. inner semantics)."""
+    iv = sorted(intervals, key=lambda t: t[1])
+    ids = np.asarray([t[0] for t in iv])
+    los = np.asarray([t[1] for t in iv], np.float64)
+    his = np.asarray([t[2] for t in iv], np.float64)
+    if np.any(his[:-1] > los[1:]):
+        raise ValueError("intervals must be non-overlapping")
+    ref = ray.put((ids, los, his))
+
+    def _match(batch: pa.Table) -> pa.Table:
+        _ids, _los, _his = _cached(("rangejoin", ref.hex()), lambda: ray.get(ref))
+        v = np.asarray(batch[value_col], np.float64)
+        idx = np.searchsorted(_los, v, side="right") - 1
+        ok = (idx >= 0) & (v < _his[np.clip(idx, 0, len(_his) - 1)])
+        out = batch.filter(pa.array(ok))
+        return out.append_column(id_out, pa.array(_ids[idx[ok]]))
+
+    return ds.map_batches(_match, batch_format="pyarrow", batch_size=batch_size)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

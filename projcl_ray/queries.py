@@ -1451,6 +1451,36 @@ def q_json_extract(sf_dir: str):
     return ds.groupby(["event_type", "k"]).aggregate(Count(alias_name="n"))
 
 
+_PRICE_BANDS = [("b0", 0.0, 50000.0), ("b1", 50000.0, 150000.0),
+                ("b2", 150000.0, 300000.0), ("b3", 300000.0, 450000.0)]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{i}' AS interval_id, {lo!r} AS lo, {hi!r} AS hi" for i, lo, hi in _PRICE_BANDS
+)
+
+
+@q(
+    "range_join_price_bands",
+    f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT b.interval_id, COUNT(*) AS n,
+  CAST(floor(SUM(o.o_totalprice)*100.0 + 0.5) AS BIGINT) AS sum_c
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.interval_id
+""",
+)
+def q_range_join(sf_dir: str):
+    """Interval (range) join: one vectorized searchsorted per batch against
+    the broadcast band table, vs the SQL non-equi join. Orders above the last
+    band drop (inner semantics on both sides)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    out = ops.range_join(ds, _PRICE_BANDS, "o_totalprice")
+    agg = out.groupby("interval_id").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_c")
+    ).to_pandas()
+    agg["sum_c"] = np.floor(agg["sum_c"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return agg
+
+
 @q(
     "asof_join_purchase_click",
     """

@@ -419,3 +419,18 @@ def test_asof_join_matches_pandas(ray_session, sf_dir):
     assert (g["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
     assert (g["ts_ref"].to_numpy() == e["ts_ref"].to_numpy()).all()
     np.testing.assert_allclose(g["cv"].to_numpy(), e["cv"].to_numpy())
+
+
+def test_range_join_boundaries(ray_session):
+    """[lo, hi) boundary semantics: lo included, hi excluded, gaps dropped,
+    overlapping intervals rejected."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"v": x} for x in (0.0, 9.999, 10.0, 19.999, 20.0, 25.0, 30.0, -1.0)])
+    iv = [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 25.0, 30.0)]  # gap [20,25)
+    out = ops.range_join(ds, iv, "v").to_pandas().sort_values("v")
+    assert list(zip(out["v"], out["interval_id"])) == [
+        (0.0, "a"), (9.999, "a"), (10.0, "b"), (19.999, "b"), (25.0, "c")
+    ]
+    with pytest.raises(ValueError):
+        ops.range_join(ds, [("a", 0.0, 10.0), ("b", 5.0, 20.0)], "v").to_pandas()
