@@ -663,6 +663,62 @@ def knn_join(
     return ds.map_batches(_knn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    *,
+    default: float = 0.0,
+    seed: int = 1,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each stratum (language, source,
+    cell, priority ...) keeps its own fraction, rows selected by the SAME
+    key-hash as :func:`deterministic_sample` — group-consistent, run-stable,
+    and SQL-reproducible for integer keys. Strata absent from ``fractions``
+    use ``default`` (0 = drop). The fractions map is tiny and closure-shipped."""
+    thr = {k: np.uint64(int(f * 4294967296.0)) for k, f in fractions.items()}
+    thr_default = np.uint64(int(default * 4294967296.0))
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        keys = hash_key_u64(np.asarray(batch[key_col]))
+        mixed = keys + np.uint64(seed) * np.uint64(2654435769)
+        h = (mixed * np.uint64(2654435761)) % np.uint64(4294967296)
+        strata = batch[strata_col].to_pylist()
+        limit = np.array([thr.get(s, thr_default) for s in strata], np.uint64)
+        return batch.filter(pa.array(h < limit))
+
+    return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Exact per-group quantiles (DuckDB quantile_disc semantics): one
+    payload-free groupby shuffle of (key, value), then a vectorized sort +
+    rank-select per group. The group is the unit of memory (bounded by
+    per-key volume, like sessionize); for single groups larger than a worker
+    use :func:`distributed_quantiles` on the filtered key instead."""
+    import pandas as pd
+
+    def per_group(group: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.sort(group[col].to_numpy(np.float64))
+        n = len(v)
+        row = {key_col: [group[key_col].iloc[0]]}
+        for q in qs:
+            idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            row[f"q{int(q * 100):02d}"] = [float(v[idx])]
+        return pd.DataFrame(row)
+
+    return ds.select_columns([key_col, col]).groupby(key_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
 def knn_join_large(
     queries: ray.data.Dataset,
     targets: ray.data.Dataset,
@@ -958,6 +1014,109 @@ def warp_tiled_mosaic(
         )
 
     return tiles_ds.groupby("image_id").map_groups(assemble_and_warp, batch_format="pandas")
+
+
+def rasterize_points(
+    ds: ray.data.Dataset,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_deg: float = index_mod.DEFAULT_RES_DEG,
+    tile_px: int = 64,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """VECTOR→RASTER (north_rule's raster↔vector bullet): bin points into a
+    per-cell density tile (``tile_px``² grayscale, counts clipped to 255).
+
+    Combiner shape: each batch pre-aggregates to sparse (cell, pixel, n)
+    rows — a hot cell ships at most tile_px² rows per batch, never its
+    points — then one groupby(cell) merge densifies into tile bytes.
+    Pixel row 0 sits at the cell's lat_min (latitude-up, documented);
+    sub-pixel indices derive from the same v=(lon+180)/res expression as
+    cell ids, so the raster content is SQL-reproducible bit-for-bit.
+    Output rows: (cell_id, bytes raw single-channel uint8, w, h, fmt='rawl').
+    """
+    nx_, ny_ = index_mod.nx(res_deg), index_mod.ny(res_deg)
+
+    def partial(batch: dict) -> dict:
+        lon = np.asarray(batch[lon_col], np.float64)
+        lat = np.asarray(batch[lat_col], np.float64)
+        v = (lon + 180.0) / res_deg
+        u = (lat + 90.0) / res_deg
+        ix = np.clip(np.floor(v).astype(np.int64), 0, nx_ - 1)
+        iy = np.clip(np.floor(u).astype(np.int64), 0, ny_ - 1)
+        cell = iy * nx_ + ix
+        px = np.clip(np.floor(v * tile_px).astype(np.int64) - ix * tile_px, 0, tile_px - 1)
+        py = np.clip(np.floor(u * tile_px).astype(np.int64) - iy * tile_px, 0, tile_px - 1)
+        key = cell * (tile_px * tile_px) + py * tile_px + px
+        uk, counts = np.unique(key, return_counts=True)
+        return {"pix_key": uk, "pn": counts.astype(np.int64)}
+
+    parts = ds.map_batches(partial, batch_format="numpy", batch_size=batch_size)
+
+    def densify(group):
+        import pandas as pd
+
+        keys = group["pix_key"].to_numpy(np.int64)
+        n = group.groupby(keys % (tile_px * tile_px))["pn"].sum()
+        tile = np.zeros(tile_px * tile_px, np.int64)
+        tile[n.index.to_numpy()] = n.to_numpy()
+        cell = int(keys[0] // (tile_px * tile_px))
+        return pd.DataFrame(
+            {
+                "cell_id": np.array([cell], np.int64),
+                "bytes": [np.clip(tile, 0, 255).astype(np.uint8).tobytes()],
+                "w": np.array([tile_px], np.int32),
+                "h": np.array([tile_px], np.int32),
+                "fmt": ["rawl"],
+            }
+        )
+
+    def add_cell(batch: dict) -> dict:
+        batch["raster_cell"] = np.asarray(batch["pix_key"], np.int64) // (tile_px * tile_px)
+        return batch
+
+    return (
+        parts.map_batches(add_cell, batch_format="numpy")
+        .groupby("raster_cell")
+        .map_groups(densify, batch_format="pandas")
+    )
+
+
+def vectorize_tiles(
+    tiles: ray.data.Dataset,
+    *,
+    bytes_col: str = "bytes",
+    batch_size: int | None = 64,
+) -> ray.data.Dataset:
+    """RASTER→VECTOR: per-tile feature rows from pixel payloads (mean band
+    values, nonzero coverage, brightness percentiles) — the feature-extract
+    direction of the raster↔vector bullet. A stateless map over tile rows;
+    emits the input columns minus bytes plus the feature columns."""
+    import pyarrow.compute as pc
+
+    def _feats(batch: pa.Table) -> pa.Table:
+        bufs = batch[bytes_col].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        mean_v = np.empty(len(bufs), np.float64)
+        cover = np.empty(len(bufs), np.float64)
+        p95 = np.empty(len(bufs), np.float64)
+        for i, buf in enumerate(bufs):
+            if fmts[i] == "rawl":
+                a = np.frombuffer(buf, np.uint8).reshape(hs[i], ws[i]).astype(np.float64)
+            else:
+                a = decode_image(buf, ws[i], hs[i], fmts[i])[..., :3].mean(axis=2)
+            mean_v[i] = a.mean()
+            cover[i] = (a > 0).mean()
+            p95[i] = np.quantile(a, 0.95)
+        out = batch.drop_columns([bytes_col])
+        out = out.append_column("mean_value", pa.array(mean_v))
+        out = out.append_column("coverage", pa.array(cover))
+        return out.append_column("p95_value", pa.array(p95))
+
+    return tiles.map_batches(_feats, batch_format="pyarrow", batch_size=batch_size)
 
 
 def cell_counts(

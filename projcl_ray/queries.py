@@ -649,6 +649,37 @@ GROUP BY b.poly_id
 
 
 @q(
+    "rasterize_density_tiles",
+    f"""
+WITH p AS ({PTS_SQL}),
+g AS (SELECT (lon + 180.0)/5.0 AS v, (lat + 90.0)/5.0 AS u FROM p),
+i AS (SELECT CAST(least(greatest(floor(v), 0.0), 71.0) AS BIGINT) AS ix,
+             CAST(least(greatest(floor(u), 0.0), 35.0) AS BIGINT) AS iy, v, u FROM g),
+x AS (SELECT iy*72 + ix AS cell_id,
+  least(greatest(CAST(floor(v*64.0) AS BIGINT) - ix*64, 0), 63) AS px,
+  least(greatest(CAST(floor(u*64.0) AS BIGINT) - iy*64, 0), 63) AS py FROM i)
+SELECT cell_id, px, py, CAST(least(COUNT(*), 255) AS BIGINT) AS n
+FROM x GROUP BY 1, 2, 3
+""",
+)
+def q_rasterize(sf_dir: str):
+    """Vector→raster: density tiles decoded back to nonzero pixel-count rows,
+    hash-compared against the SQL sub-pixel histogram (identical v=(lon+180)/res
+    arithmetic on both sides, so the raster content matches bit-for-bit)."""
+    tiles = ops.rasterize_points(derive_points(sf_dir), res_deg=5.0, tile_px=64).to_pandas()
+    frames = []
+    for _, r in tiles.iterrows():
+        a = np.frombuffer(r["bytes"], np.uint8).reshape(64, 64)
+        py, px = np.nonzero(a)
+        frames.append(pd.DataFrame({
+            "cell_id": np.full(len(px), r["cell_id"], np.int64),
+            "px": px.astype(np.int64), "py": py.astype(np.int64),
+            "n": a[py, px].astype(np.int64),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+@q(
     "knn_customers_suppliers",
     f"""
 WITH c AS ({CUST_PT}), s AS ({SUPP_PT}),
@@ -1615,6 +1646,53 @@ def q_det_sample(sf_dir: str):
     ).to_pandas()
     agg["sum_cents"] = np.floor(agg["sum_cents"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return agg
+
+
+@q(
+    "stratified_sample_by_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(floor(SUM(o_totalprice)*100.0 + 0.5) AS BIGINT) AS sum_c
+FROM orders
+WHERE ((CAST(o_orderkey AS HUGEINT) + 1 * 2654435769) * 2654435761) % 4294967296
+  < CAST(CASE o_orderpriority
+      WHEN '1-URGENT' THEN 0.2 WHEN '3-MEDIUM' THEN 0.05 ELSE 0.0
+    END * 4294967296.0 AS BIGINT)
+GROUP BY o_orderpriority
+""",
+)
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (different keep-rates per class),
+    SQL-reproducible via the same integer hash as deterministic_sample."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = ops.stratified_sample(ds, "o_orderkey", "o_orderpriority",
+                                {"1-URGENT": 0.2, "3-MEDIUM": 0.05}, seed=1)
+    agg = out.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_c")
+    ).to_pandas()
+    agg["sum_c"] = np.floor(agg["sum_c"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return agg
+
+
+@q(
+    "group_quantiles_price_by_priority",
+    """
+SELECT o_orderpriority,
+  CAST(floor(quantile_disc(o_totalprice, 0.25)*100.0 + 0.5) AS BIGINT) AS q25_c,
+  CAST(floor(quantile_disc(o_totalprice, 0.50)*100.0 + 0.5) AS BIGINT) AS q50_c,
+  CAST(floor(quantile_disc(o_totalprice, 0.95)*100.0 + 0.5) AS BIGINT) AS q95_c
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_group_quantiles(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = ops.group_quantiles(ds, "o_orderpriority", "o_totalprice",
+                              [0.25, 0.50, 0.95]).to_pandas()
+    for c in ("q25", "q50", "q95"):
+        out[c + "_c"] = np.floor(out[c].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return out[["o_orderpriority", "q25_c", "q50_c", "q95_c"]]
 
 
 @q("warp_projected_source")  # pixel op — rows-only; exactness gate in pytest

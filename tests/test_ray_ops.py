@@ -434,3 +434,25 @@ def test_range_join_boundaries(ray_session):
     ]
     with pytest.raises(ValueError):
         ops.range_join(ds, [("a", 0.0, 10.0), ("b", 5.0, 20.0)], "v").to_pandas()
+
+
+def test_rasterize_and_vectorize_roundtrip(ray_session, sf_dir):
+    """Vector→raster tiles sum to the input point count (no clip at test
+    scale per cell-pixel) and raster→vector features match direct numpy."""
+    import ray.data as rd
+
+    pts = lineitem_points(ray_session, sf_dir, limit=2000)
+    n_pts = pts.count()
+    tiles = ops.rasterize_points(pts, res_deg=5.0, tile_px=64).to_pandas()
+    total = sum(
+        np.frombuffer(b, np.uint8).astype(np.int64).sum() for b in tiles["bytes"]
+    )
+    assert total == n_pts  # every point binned exactly once
+    feats = ops.vectorize_tiles(rd.from_pandas(tiles)).to_pandas()
+    assert len(feats) == len(tiles)
+    t0 = tiles.iloc[0]
+    a = np.frombuffer(t0["bytes"], np.uint8).reshape(64, 64).astype(np.float64)
+    f0 = feats[feats["cell_id"] == t0["cell_id"]].iloc[0]
+    assert abs(f0["mean_value"] - a.mean()) < 1e-12
+    assert abs(f0["coverage"] - (a > 0).mean()) < 1e-12
+    assert abs(f0["p95_value"] - np.quantile(a, 0.95)) < 1e-12
