@@ -1016,6 +1016,76 @@ def warp_tiled_mosaic(
     return tiles_ds.groupby("image_id").map_groups(assemble_and_warp, batch_format="pandas")
 
 
+def build_tile_pyramid(
+    tiles: ray.data.Dataset,
+    levels: int = 1,
+    *,
+    group_col: str = "image_id",
+) -> ray.data.Dataset:
+    """Zoom pyramid over warped tiles (the tiling-engine counterpart of a web
+    map's overview levels): level k+1 tiles assemble their 2×2 level-k
+    children (one groupby per level on (group, parent) — the only stage
+    where tile payloads legitimately shuffle) and box-filter 2× down.
+    Missing children (image edges) fill as transparent zeros, matching the
+    zero-padded edge-tile convention of cut_tiles. Emits all levels,
+    level 0 = input; columns gain ``level`` (int32).
+
+    Downsampling is float32 mean-of-4 rounded to uint8 per level (document:
+    composing k levels is NOT bit-identical to one 2^k box filter — each
+    level re-rounds, the standard pyramid behavior).
+    """
+    import pandas as pd
+
+    def tag0(batch: pa.Table) -> pa.Table:
+        return batch.append_column("level", pa.array(np.zeros(batch.num_rows, np.int32)))
+
+    out = tiles.map_batches(tag0, batch_format="pyarrow")
+    level_ds = out
+
+    def add_parent(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_col"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_row"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "parent", pa.array((ty // 2).astype(np.int64) * 1_000_000 + (tx // 2))
+        )
+
+    def make_merge4(lvl: int):  # bind the level NOW (datasets execute lazily)
+        def merge4(group: "pd.DataFrame") -> "pd.DataFrame":
+            r0 = group.iloc[0]
+            ts = int(r0["tile_size"])
+            canvas = np.zeros((2 * ts, 2 * ts, 4), np.float32)
+            for _, r in group.iterrows():
+                img = decode_image(r["bytes"], ts, ts, "raw").astype(np.float32)
+                oy, ox = (int(r["tile_row"]) % 2) * ts, (int(r["tile_col"]) % 2) * ts
+                canvas[oy : oy + ts, ox : ox + ts] = img
+            down = canvas.reshape(ts, 2, ts, 2, 4).mean(axis=(1, 3))
+            down8 = np.clip(np.floor(down + 0.5), 0, 255).astype(np.uint8)
+            out_row = {c: [r0[c]] for c in group.columns
+                       if c not in ("bytes", "tile_col", "tile_row", "tile_idx",
+                                    "level", "parent", "w", "h")}
+            out_row["tile_col"] = np.array([int(r0["tile_col"]) // 2], np.int32)
+            out_row["tile_row"] = np.array([int(r0["tile_row"]) // 2], np.int32)
+            out_row["tile_idx"] = np.array([-1], np.int32)  # per-level ids re-derive
+            out_row["bytes"] = [encode_image(down8)]
+            out_row["w"] = np.array([ts], np.int32)
+            out_row["h"] = np.array([ts], np.int32)
+            out_row["level"] = np.array([lvl], np.int32)
+            return pd.DataFrame(out_row)[list(group.columns.drop("parent"))]
+
+        return merge4
+
+    for lvl in range(1, levels + 1):
+        level_ds = (
+            level_ds.map_batches(add_parent, batch_format="pyarrow")
+            .groupby([group_col, "parent"])
+            .map_groups(make_merge4(lvl), batch_format="pandas")
+        )
+        out = out.union(level_ds)
+    # normalize to arrow blocks: the union mixes pandas (map_groups) and
+    # arrow (level 0) blocks, which downstream aggregates refuse to combine
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 def rasterize_points(
     ds: ray.data.Dataset,
     *,

@@ -1187,6 +1187,17 @@ def q_flagship(sf_dir: str):
     return flagship(n_images=32, concurrency=2)
 
 
+@q("warp_tile_pyramid")  # pixel op — level-1 bit-exactness gated in pytest
+def q_tile_pyramid(sf_dir: str):
+    from .images import synth_images_table
+
+    ds = rd.from_arrow(synth_images_table(16, seed=42, sizes=(128,)))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=32, batch_size=8)
+    pyr = ops.build_tile_pyramid(tiles, levels=2)
+    return pyr.groupby("level").aggregate(Count(alias_name="n_tiles"))
+
+
 # ---------------------------------------------------------------------------
 # Fixed-angle geodesic trace, mosaic warp, media, phash dedup
 # ---------------------------------------------------------------------------

@@ -456,3 +456,40 @@ def test_rasterize_and_vectorize_roundtrip(ray_session, sf_dir):
     assert abs(f0["mean_value"] - a.mean()) < 1e-12
     assert abs(f0["coverage"] - (a > 0).mean()) < 1e-12
     assert abs(f0["p95_value"] - np.quantile(a, 0.95)) < 1e-12
+
+
+def test_tile_pyramid_level1_matches_direct_downsample(ray_session):
+    """Level-1 pyramid tiles must equal a direct 2x box filter of the source
+    image region (bit-exact: float mean then round), with zero fill past the
+    image edge exactly like cut_tiles' padding."""
+    import ray.data as rd
+
+    from projcl_ray.images import decode_image, synth_images_table
+    from projcl_ray.proj import ProjParams
+
+    ds = rd.from_arrow(synth_images_table(4, seed=3, sizes=(128,)))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=32, batch_size=4)
+    pyr = ops.build_tile_pyramid(tiles, levels=2).to_pandas()
+    assert set(pyr["level"]) == {0, 1, 2}
+    l0 = pyr[pyr["level"] == 0]
+    l1 = pyr[pyr["level"] == 1]
+    # pick one image, reassemble level 0, downsample directly, compare level 1
+    img_id = l0["image_id"].iloc[0]
+    g0 = l0[l0["image_id"] == img_id]
+    across = int(g0["tile_col"].max()) + 1
+    down_ = int(g0["tile_row"].max()) + 1
+    full = np.zeros((down_ * 32, across * 32, 4), np.float32)
+    for _, r in g0.iterrows():
+        full[r["tile_row"] * 32:(r["tile_row"] + 1) * 32,
+             r["tile_col"] * 32:(r["tile_col"] + 1) * 32] = decode_image(
+                 r["bytes"], 32, 32, "raw").astype(np.float32)
+    for _, r in l1[l1["image_id"] == img_id].iterrows():
+        y0, x0 = r["tile_row"] * 64, r["tile_col"] * 64
+        region = np.zeros((64, 64, 4), np.float32)
+        src = full[y0:y0 + 64, x0:x0 + 64]
+        region[: src.shape[0], : src.shape[1]] = src
+        exp = np.clip(np.floor(region.reshape(32, 2, 32, 2, 4).mean(axis=(1, 3)) + 0.5),
+                      0, 255).astype(np.uint8)
+        got = decode_image(r["bytes"], 32, 32, "raw")
+        np.testing.assert_array_equal(got, exp)
