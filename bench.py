@@ -134,6 +134,25 @@ def run_suite() -> dict:
     ).count()
     timings["dedup_minhash"] = time.time() - t0
 
+    # --- raster<->vector: density tiles over the derived points ---
+    t0 = time.time()
+    n_rtiles = ops.rasterize_points(derive_points(SF_DIR), res_deg=5.0, tile_px=64).count()
+    timings["rasterize"] = time.time() - t0
+    extra["raster_tiles"] = int(n_rtiles)
+
+    # --- as-of feature join over the events log ---
+    from ray.data.aggregate import Sum as _Sum
+
+    t0 = time.time()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    right = ev.filter(expr="event_type == 'click'").groupby(["user_id", "ts"]).aggregate(
+        _Sum("value", alias_name="click_value")
+    )
+    ops.asof_join(left, right, on="ts", by="user_id", n_parts=64).count()
+    timings["asof_join"] = time.time() - t0
+
     # --- ANN cosine top-k ---
     import pyarrow.parquet as pq
 

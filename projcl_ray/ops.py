@@ -1556,7 +1556,9 @@ def asof_join(
     every event) without ever materializing either table globally.
     Right-side non-key columns are suffixed; right numeric columns arrive as
     float64 (null-tolerant across parts). Ties in right ``on`` within a key
-    are the caller's to break (pre-aggregate right to unique (by, on))."""
+    are the caller's to break (pre-aggregate right to unique (by, on)).
+    Pass ``n_parts`` explicitly when the inputs are computed pipelines — the
+    adaptive default calls ``count()``, which executes them an extra time."""
     import pandas as pd
 
     if n_parts is None:

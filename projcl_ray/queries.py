@@ -1547,7 +1547,7 @@ def q_asof_join(sf_dir: str):
         ev.filter(expr="event_type == 'click'")
         .groupby(["user_id", "ts"]).aggregate(Sum("value", alias_name="click_value"))
     )
-    out = ops.asof_join(left, right, on="ts", by="user_id").to_pandas()
+    out = ops.asof_join(left, right, on="ts", by="user_id", n_parts=64).to_pandas()
     out["value_c"] = np.floor(out["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     out["click_c"] = np.floor(out["click_value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
     return out[["event_id", "user_id", "ts", "ts_ref", "value_c", "click_c"]]
