@@ -930,6 +930,89 @@ def knn_join_large(
     return out
 
 
+def within_distance_join(
+    ds: ray.data.Dataset,
+    site_ids,
+    site_lon,
+    site_lat,
+    radius_m: float,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    batch_size: int | None = 32 * 1024,
+) -> ray.data.Dataset:
+    """Geofence join: every (point, site) pair within ``radius_m`` meters
+    (haversine) — the relational extension of the reference's fixed-distance
+    "blast radius" op (src/projcl_run.c:694-745). Sites broadcast once,
+    bucketed by cell like KnnActor; each point scores ONLY the sites in the
+    ring of cells that can possibly be within range (ring width from the
+    worst-case meters-per-degree at the band, always a superset — exact).
+    Emits input rows × matching sites with ``site_id``/``site_dist_m``."""
+    res_deg = max(0.5, radius_m / 111194.9 * 2.0)  # ring stays small
+    ref = ray.put((np.asarray(site_ids), np.asarray(site_lon, np.float64),
+                   np.asarray(site_lat, np.float64)))
+
+    def _builder():
+        ids, slon, slat = ray.get(ref)
+        cells = index_mod.cell_id(slon, slat, res_deg)
+        order = np.argsort(cells, kind="stable")
+        return ids, slon, slat, cells[order], order
+
+    from .geodesic import haversine_matrix
+
+    def _join(batch: pa.Table) -> pa.Table:
+        ids, slon, slat, sorted_cells, order = _cached(
+            ("geofence", ref.hex(), radius_m), _builder
+        )
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        cells = index_mod.cell_id(lon, lat, res_deg)
+        order_p = np.argsort(cells, kind="stable")
+        sorted_p = cells[order_p]
+        rows_out: list[np.ndarray] = []
+        sites_out: list[np.ndarray] = []
+        dists_out: list[np.ndarray] = []
+        # per-CELL, not per-point: the candidate set builds once per cell and
+        # the distance test is one vectorized matrix per cell group
+        for cell in np.unique(cells):
+            qi = order_p[np.searchsorted(sorted_p, cell, "left"):
+                         np.searchsorted(sorted_p, cell, "right")]
+            _, lat_min, _, lat_max = index_mod.cell_bounds(np.array([cell]), res_deg)
+            band = min(max(abs(float(lat_min)), abs(float(lat_max))), 89.0)
+            mpd = 111194.9 * max(np.cos(np.radians(band)), 0.02)
+            # 2/π chord derating (see KnnActor): any cell beyond ring r is
+            # ≥ (2/π)·r·res·mpd away — valid INCLUDING across the pole, where
+            # the ring's longitude wrap covers the far-side rows
+            ring = int(np.ceil(radius_m * (np.pi / 2.0) / (mpd * res_deg))) + 1
+            nb = np.unique(index_mod.cell_neighbors(np.array([cell]), res_deg, ring=ring)[0])
+            lo = np.searchsorted(sorted_cells, nb, side="left")
+            hi = np.searchsorted(sorted_cells, nb, side="right")
+            cand = np.concatenate([order[a:b] for a, b in zip(lo, hi) if b > a]) \
+                if np.any(hi > lo) else np.empty(0, np.int64)
+            if not len(cand):
+                continue
+            d = haversine_matrix(lon[qi], lat[qi], slon[cand], slat[cand])
+            pi_idx, si_idx = np.nonzero(d <= radius_m)
+            if len(pi_idx):
+                rows_out.append(qi[pi_idx])
+                sites_out.append(cand[si_idx])
+                dists_out.append(d[pi_idx, si_idx])
+        if not rows_out:
+            t = batch.slice(0, 0)
+            t = t.append_column("site_id", pa.array([], pa.from_numpy_dtype(ids.dtype)
+                                                    if ids.dtype.kind != "O" else pa.string()))
+            return t.append_column("site_dist_m", pa.array([], pa.float64()))
+        rows = np.concatenate(rows_out)
+        sidx = np.concatenate(sites_out)
+        dist = np.concatenate(dists_out)
+        o = np.argsort(rows, kind="stable")
+        out = batch.take(pa.array(rows[o]))
+        out = out.append_column("site_id", pa.array(ids[sidx[o]]))
+        return out.append_column("site_dist_m", pa.array(dist[o], pa.float64()))
+
+    return ds.map_batches(_join, batch_format="pyarrow", batch_size=batch_size)
+
+
 def forward_geodesic_fixed_angle(
     ds: ray.data.Dataset,
     origin_lon: float,

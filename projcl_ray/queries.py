@@ -649,6 +649,28 @@ GROUP BY b.poly_id
 
 
 @q(
+    "geofence_customers_near_suppliers",
+    f"""
+WITH c AS ({CUST_PT}), s AS ({SUPP_PT})
+SELECT c.c_custkey, s.s_suppkey,
+  CAST(floor({_hav_sql('c.lon', 'c.lat', 's.lon', 's.lat')}) AS BIGINT) AS dist_m
+FROM c CROSS JOIN s
+WHERE {_hav_sql('c.lon', 'c.lat', 's.lon', 's.lat')} <= 300000.0
+""",
+)
+def q_geofence(sf_dir: str):
+    """Within-distance (geofence) join, cell-ring pruned, vs the brute-force
+    cross-join filter (identical haversine expression on both sides, so the
+    radius boundary cannot flip)."""
+    cust = _customer_points(sf_dir)
+    s_ids, s_lon, s_lat = _supplier_points(sf_dir)
+    out = ops.within_distance_join(cust, s_ids, s_lon, s_lat, 300000.0).to_pandas()
+    out["s_suppkey"] = out["site_id"].astype(np.int64)
+    out["dist_m"] = np.floor(out["site_dist_m"].to_numpy()).astype(np.int64)
+    return out[["c_custkey", "s_suppkey", "dist_m"]]
+
+
+@q(
     "rasterize_density_tiles",
     f"""
 WITH p AS ({PTS_SQL}),

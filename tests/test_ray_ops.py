@@ -493,3 +493,30 @@ def test_tile_pyramid_level1_matches_direct_downsample(ray_session):
                       0, 255).astype(np.uint8)
         got = decode_image(r["bytes"], 32, 32, "raw")
         np.testing.assert_array_equal(got, exp)
+
+
+def test_within_distance_join_exact_vs_brute(ray_session):
+    """Cell-ring-pruned geofence must equal the brute all-pairs filter,
+    including polar points and an empty-result radius."""
+    import ray.data as rd
+
+    from projcl_ray.geodesic import haversine_matrix
+
+    rng = np.random.default_rng(17)
+    qlon = rng.uniform(-170, 170, 200)
+    qlat = np.concatenate([rng.uniform(-85, 85, 180), rng.uniform(85, 89.5, 20)])
+    s_lon = rng.uniform(-180, 180, 300)
+    s_lat = rng.uniform(-89, 89, 300)
+    s_ids = np.arange(300)
+    ds = rd.from_items(
+        [{"qid": i, "lon": float(qlon[i]), "lat": float(qlat[i])} for i in range(200)]
+    )
+    for radius in (250_000.0, 5.0):
+        out = ops.within_distance_join(ds, s_ids, s_lon, s_lat, radius).to_pandas()
+        d = haversine_matrix(qlon, qlat, s_lon, s_lat)
+        qi, si = np.nonzero(d <= radius)
+        exp = {(int(q), int(s)) for q, s in zip(qi, si)}
+        got = set() if not len(out) else {
+            (int(q), int(s)) for q, s in zip(out["qid"], out["site_id"])
+        }
+        assert got == exp, radius
