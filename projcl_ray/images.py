@@ -52,6 +52,18 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     a skipped-unless-available pytest), else a clear NotImplementedError."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, CHANNELS)
+    if fmt == "rawrgb":  # 3-channel raw → opaque RGBA (reference accepts any
+        rgb = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)  # channel order)
+        out = np.empty((h, w, CHANNELS), np.uint8)
+        out[..., :3] = rgb
+        out[..., 3] = 255
+        return out
+    if fmt == "rawl":  # single-channel raw (e.g. density tiles) → gray RGBA
+        lum = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+        out = np.empty((h, w, CHANNELS), np.uint8)
+        out[..., 0] = out[..., 1] = out[..., 2] = lum
+        out[..., 3] = 255
+        return out
     if fmt in ("png", "jpeg"):
         codec = _codec_module()
         if codec == "pil":

@@ -557,6 +557,68 @@ def _vincenty_oracle_sql(n_iter: int = 10) -> str:
     return "\n".join(parts)
 
 
+def _vincenty_direct_oracle_sql(dist_m: float, n_iter: int = 8) -> str:
+    """Vincenty's DIRECT problem unrolled as SQL (σ fixed-point iteration,
+    contraction ≈ B ≈ 2e-3/step): gates geodesic.vincenty_direct itself, not
+    just round-trips. Four azimuths × customer points at a fixed distance."""
+    info = get_spheroid("WGS_84")
+    a, b = info.major_axis, info.minor_axis
+    f = info.flattening
+    parts = [
+        f"WITH c AS ({CUST_PT}),",
+        "az(azimuth_deg) AS (VALUES (30.0), (120.0), (210.0), (300.0)),",
+        "p AS (SELECT c.c_custkey, az.azimuth_deg, radians(c.lon) AS lam1,"
+        " radians(c.lat) AS phi1, radians(az.azimuth_deg) AS alp1 FROM c CROSS JOIN az),",
+        f"q0 AS (SELECT *, sin(alp1) AS sa1, cos(alp1) AS ca1,"
+        f" (1.0 - {f!r})*tan(phi1) AS tU1 FROM p),",
+        "q1 AS (SELECT *, 1.0/sqrt(1.0 + tU1*tU1) AS cU1 FROM q0),",
+        "q2 AS (SELECT *, tU1*cU1 AS sU1, atan2(tU1, ca1) AS sig1, cU1*sa1 AS salp FROM q1),",
+        f"q3 AS (SELECT *, 1.0 - salp*salp AS c2a FROM q2),",
+        f"q4 AS (SELECT *, c2a*{a * a - b * b!r}/{b * b!r} AS uu FROM q3),",
+        "q5 AS (SELECT *, 1.0 + uu/16384.0*(4096.0 + uu*(-768.0 + uu*(320.0 - 175.0*uu))) AS fA,"
+        " uu/1024.0*(256.0 + uu*(-128.0 + uu*(74.0 - 47.0*uu))) AS fB FROM q4),",
+        f"it0 AS (SELECT *, {dist_m!r}/({b!r}*fA) AS sig FROM q5),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"x{i} AS (SELECT *, cos(2.0*sig1 + sig) AS c2m,"
+            f" sin(sig) AS ss, cos(sig) AS cs FROM it{i - 1}),"
+            f" it{i} AS (SELECT * EXCLUDE (sig, c2m, ss, cs),"
+            f" {dist_m!r}/({b!r}*fA) + fB*ss*(c2m + 0.25*fB*(cs*(-1.0 + 2.0*c2m*c2m)"
+            f" - fB/6.0*c2m*(-3.0 + 4.0*ss*ss)*(-3.0 + 4.0*c2m*c2m))) AS sig FROM x{i}),"
+        )
+    parts.append(
+        f"fin AS (SELECT *, sin(sig) AS ss, cos(sig) AS cs, cos(2.0*sig1 + sig) AS c2m"
+        f" FROM it{n_iter}),"
+        " f1 AS (SELECT *, sU1*ss - cU1*cs*ca1 AS tmp FROM fin),"
+        f" f2 AS (SELECT *, atan2(sU1*cs + cU1*ss*ca1,"
+        f" (1.0 - {f!r})*sqrt(salp*salp + tmp*tmp)) AS phi2,"
+        " atan2(ss*sa1, cU1*cs - sU1*ss*ca1) AS lam,"
+        f" {f!r}/16.0*c2a*(4.0 + {f!r}*(4.0 - 3.0*c2a)) AS cc FROM f1),"
+        f" f3 AS (SELECT *, lam - (1.0-cc)*{f!r}*salp*(sig + cc*ss*(c2m"
+        " + cc*cs*(-1.0 + 2.0*c2m*c2m))) AS LL FROM f2),"
+        " f4 AS (SELECT c_custkey, azimuth_deg, phi2, lam1 + LL AS lam2 FROM f3)"
+        " SELECT c_custkey, azimuth_deg,"
+        " CAST(floor(degrees(CASE WHEN abs(lam2) > pi() THEN lam2 - 2.0*pi()*sign(lam2)"
+        " ELSE lam2 END) * 10000.0 + 0.5) AS BIGINT) AS lon2_q,"
+        " CAST(floor(degrees(phi2) * 10000.0 + 0.5) AS BIGINT) AS lat2_q"
+        " FROM f4"
+    )
+    return "\n".join(parts)
+
+
+@q("forward_geodesic_vincenty", _vincenty_direct_oracle_sql(2_000_000.0))
+def q_forward_vincenty(sf_dir: str):
+    """Ellipsoidal fixed-distance fan-out (the reference's commented-out
+    pl_forward_geodesic_e, kernel/pl_geodesic.opencl:139-209) vs the unrolled
+    direct-problem SQL."""
+    ds = ops.forward_geodesic(_customer_points(sf_dir), [30.0, 120.0, 210.0, 300.0],
+                              2_000_000.0, method="vincenty", spheroid="WGS_84")
+    df = ds.select_columns(["c_custkey", "azimuth_deg", "lon2", "lat2"]).to_pandas()
+    df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
+    return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
+
+
 @q("vincenty_inverse_matrix", _vincenty_oracle_sql())
 def q_vincenty_matrix(sf_dir: str):
     cust = _customer_points(sf_dir)

@@ -223,3 +223,20 @@ def test_codec_hook_png_roundtrip_when_available():
     buf = encode_image(img, "png")
     back = decode_image(buf, 32, 24, "png")
     np.testing.assert_array_equal(back, img)
+
+
+def test_decode_multi_channel_raw_variants():
+    """rawrgb (3-channel) and rawl (single-channel) decode to RGBA with
+    opaque alpha — the engine's analogue of the reference's arbitrary
+    cl_channel_order support (projcl_warp.c:68-107)."""
+    from projcl_ray.images import decode_image, synth_pixels
+
+    img = synth_pixels(5, 16, 12)
+    rgb = decode_image(img[..., :3].tobytes(), 16, 12, "rawrgb")
+    np.testing.assert_array_equal(rgb[..., :3], img[..., :3])
+    assert (rgb[..., 3] == 255).all()
+    lum = img[..., 0]
+    gray = decode_image(lum.tobytes(), 16, 12, "rawl")
+    for c in range(3):
+        np.testing.assert_array_equal(gray[..., c], lum)
+    assert (gray[..., 3] == 255).all()
