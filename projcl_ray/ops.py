@@ -1515,32 +1515,60 @@ def distributed_quantiles(
         targets = {q: min(max(int(np.ceil(q * total)) - 1, 0), total - 1) for q in qs
                    if q not in out}
         brackets: dict[float, tuple[float, float, int]] = {}
+        sizes: dict[tuple[float, float], int] = {}
         for q, t in targets.items():
             below = np.nonzero(cb <= t)[0]
             above = np.nonzero(cb > t)[0]
             lo = splits[below[-1]] if len(below) else -np.inf
             hi = splits[above[0]] if len(above) else np.inf
             lo_count = int(cb[below[-1]]) if len(below) else 0
+            hi_count = int(cb[above[0]]) if len(above) else total
             brackets[q] = (lo, hi, lo_count)
-        uniq = sorted({(lo, hi) for lo, hi, _ in brackets.values()})
+            sizes[(lo, hi)] = hi_count - lo_count
+        uniq = sorted(sizes)
 
-        def collect(batch: dict) -> dict:
-            v = np.asarray(batch[col], np.float64)
+        def in_brackets(v: np.ndarray) -> np.ndarray:
             mask = np.zeros(len(v), bool)
             for lo, hi in uniq:
                 mask |= (v >= lo) & (v < hi)
-            return {col: v[mask]}
+            return mask
+
+        if sum(sizes.values()) > max_collect and round_no < max_rounds - 1:
+            # pathological skew: the exact counts (NOT a collect) say the
+            # brackets exceed the driver budget — re-split from a bounded
+            # per-block SAMPLE of the bracket interiors and try again
+            def bracket_samples(batch: dict) -> dict:
+                v = np.asarray(batch[col], np.float64)
+                v = np.sort(v[in_brackets(v)])
+                if len(v) == 0:
+                    return {"s": v}
+                idx = np.linspace(0, len(v) - 1, min(len(v), 256)).astype(np.int64)
+                return {"s": v[idx]}
+
+            pool = np.concatenate(
+                [np.asarray(b["s"]) for b in
+                 slim.map_batches(bracket_samples, batch_format="numpy",
+                                  batch_size=batch_size).iter_batches(batch_format="numpy")]
+                or [np.empty(0, np.float64)]
+            )
+            refined = np.unique(np.quantile(pool, np.linspace(0.0, 1.0, n_splits))) \
+                if len(pool) else np.empty(0, np.float64)
+            new_splits = np.unique(np.concatenate([splits, refined]))
+            if len(new_splits) == len(splits):  # duplicates can't split further
+                pass  # fall through and collect (exactness over the budget)
+            else:
+                splits = new_splits
+                continue
+
+        def collect(batch: dict) -> dict:
+            v = np.asarray(batch[col], np.float64)
+            return {col: v[in_brackets(v)]}
 
         vals = np.sort(np.concatenate(
             [np.asarray(b[col]) for b in
              slim.map_batches(collect, batch_format="numpy", batch_size=batch_size)
              .iter_batches(batch_format="numpy")] or [np.empty(0, np.float64)]
         ))
-        if len(vals) > max_collect and round_no < max_rounds - 1:
-            # pathological skew: re-split inside the hot brackets
-            splits = np.unique(np.quantile(vals[:: max(1, len(vals) // (4 * n_splits))],
-                                           np.linspace(0.0, 1.0, n_splits)))
-            continue
         for q, (lo, hi, lo_count) in brackets.items():
             # vals holds every value in all brackets; restrict to this one
             seg = vals[(vals >= lo) & (vals < hi)]
