@@ -318,6 +318,8 @@ def dup_components(
     back through one vectorized ``map_batches`` over the full id column.
     """
     pdf = pairs.select_columns([pair_a, pair_b]).to_pandas()
+    if pair_a not in pdf.columns:  # zero pairs: empty datasets lose columns
+        pdf = pdf.reindex(columns=[pair_a, pair_b])
     parent: dict = {}
 
     def find(x):
