@@ -799,7 +799,7 @@ def q_knn_large(sf_dir: str):
     )
     out = ops.knn_join_large(
         cust, supp_ds, k=3, query_id_col="c_custkey", target_id_col="s_suppkey",
-        res_deg=10.0, init_ring=3,
+        res_deg=10.0, init_ring=5,
     ).to_pandas()
     out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
     out["neighbor_rank"] = out["neighbor_rank"].astype(np.int64)
