@@ -764,6 +764,47 @@ def q_rasterize(sf_dir: str):
 
 
 @q(
+    "polygon_area_nation_boxes",
+    """
+SELECT n_name AS poly_id,
+  CAST(floor((6.0 + (n_nationkey % 5) * 2.0) * (5.0 + (n_nationkey % 7)) * 1000000.0 + 0.5)
+       AS BIGINT) AS area_q,
+  CAST(floor(((-60.0 + fmod(n_nationkey*29.0, 100.0)) + (6.0 + (n_nationkey % 5) * 2.0)/2.0)
+       * 10000.0 + 0.5) AS BIGINT) AS cx_q
+FROM nation
+""",
+)
+def q_polygon_area(sf_dir: str):
+    """Vector analytics: shoelace area + centroid of the polygon layer vs the
+    independent rectangle formulas (w·h, lon0 + w/2) in SQL — validates the
+    general-polygon implementation through a shape where the answer has a
+    closed form."""
+    import ray.data as rd2
+
+    polys = nation_boxes(sf_dir)
+    ds = rd2.from_items(
+        [{"poly_id": pid, "vertices": np.asarray(p, np.float64).ravel().tolist()}
+         for pid, p in polys]
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        from .spatial import polygon_area, polygon_centroid
+
+        areas, cxs = [], []
+        for v in batch["vertices"].to_pylist():
+            poly = np.asarray(v, np.float64).reshape(-1, 2)
+            areas.append(polygon_area(poly))
+            cxs.append(polygon_centroid(poly)[0])
+        out = batch.drop_columns(["vertices"])
+        out = out.append_column("area_q", pa.array(
+            np.floor(np.asarray(areas) * 1e6 + 0.5).astype(np.int64)))
+        return out.append_column("cx_q", pa.array(
+            np.floor(np.asarray(cxs) * 1e4 + 0.5).astype(np.int64)))
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+@q(
     "knn_customers_suppliers",
     f"""
 WITH c AS ({CUST_PT}), s AS ({SUPP_PT}),

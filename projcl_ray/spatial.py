@@ -42,6 +42,28 @@ def points_in_polygons(px, py, polys: list[np.ndarray]):
     return np.stack([point_in_polygon(px, py, p) for p in polys], axis=1)
 
 
+def polygon_area(poly: np.ndarray) -> float:
+    """Planar shoelace area of a simple polygon (absolute value; closed or
+    open ring). Units = coordinate units squared (deg² here — reproject first
+    for metric areas)."""
+    vx, vy = np.asarray(poly[:, 0], np.float64), np.asarray(poly[:, 1], np.float64)
+    if vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    return float(abs(np.dot(vx, np.roll(vy, -1)) - np.dot(vy, np.roll(vx, -1))) / 2.0)
+
+
+def polygon_centroid(poly: np.ndarray) -> tuple[float, float]:
+    """Planar centroid of a simple polygon (shoelace-weighted)."""
+    vx, vy = np.asarray(poly[:, 0], np.float64), np.asarray(poly[:, 1], np.float64)
+    if vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    cross = vx * np.roll(vy, -1) - np.roll(vx, -1) * vy
+    a = cross.sum() / 2.0
+    cx = ((vx + np.roll(vx, -1)) * cross).sum() / (6.0 * a)
+    cy = ((vy + np.roll(vy, -1)) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
 def polygon_bbox(poly: np.ndarray) -> tuple[float, float, float, float]:
     return float(poly[:, 0].min()), float(poly[:, 1].min()), float(poly[:, 0].max()), float(poly[:, 1].max())
 

@@ -115,3 +115,21 @@ def test_knn_brute_matches_full_sort():
     exp = np.sort(full, axis=1)[:, :5]
     np.testing.assert_allclose(np.sort(dist, axis=1), exp, rtol=1e-12)
     assert np.all(np.diff(dist, axis=1) >= 0)  # sorted by distance
+
+
+def test_polygon_area_centroid_known_shapes():
+    from projcl_ray.spatial import polygon_area, polygon_centroid
+
+    # unit square (closed ring), CCW and CW
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    assert polygon_area(sq) == 1.0
+    assert polygon_centroid(sq) == (0.5, 0.5)
+    assert polygon_area(sq[::-1]) == 1.0  # orientation-independent (abs)
+    # right triangle
+    tri = np.array([[0, 0], [4, 0], [0, 3]], float)
+    assert polygon_area(tri) == 6.0
+    cx, cy = polygon_centroid(tri)
+    assert abs(cx - 4 / 3) < 1e-12 and abs(cy - 1.0) < 1e-12
+    # concave L-shape: area = 3 (2x2 square minus 1x1 notch)
+    ell = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
+    assert abs(polygon_area(ell) - 3.0) < 1e-12
