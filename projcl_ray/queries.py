@@ -1678,6 +1678,44 @@ def q_asof_join(sf_dir: str):
     return out[["event_id", "user_id", "ts", "ts_ref", "value_c", "click_c"]]
 
 
+def _hll_oracle_sql() -> str:
+    """HyperLogLog (p=6) replicated in SQL: md5 hashes, exact-integer rank
+    CASE (58 branches — float log2 rounds wrong above 2^53), HUGEINT register
+    sum, and the same correction formula — the sketch is deterministic, so
+    the approximate estimate hash-compares exactly."""
+    rank_case = "CASE " + " ".join(
+        f"WHEN rest >= {1 << (58 - k)} THEN {k}" for k in range(1, 59)
+    ) + " ELSE 59 END"
+    return f"""
+WITH h AS (SELECT md5_number_upper(CAST(o_custkey AS VARCHAR)) AS hv FROM orders),
+b AS (SELECT CAST(hv >> 58 AS BIGINT) AS bucket,
+             hv & CAST(288230376151711743 AS UBIGINT) AS rest FROM h),
+r AS (SELECT bucket, MAX({rank_case}) AS mx FROM b GROUP BY bucket),
+g AS (SELECT gs.b AS bucket, COALESCE(r.mx, 0) AS mx
+      FROM generate_series(0, 63) gs(b) LEFT JOIN r ON r.bucket = gs.b),
+mm AS (SELECT MAX(mx) AS maxm FROM g),
+nm AS (SELECT SUM(CAST(1 AS HUGEINT) << (mm.maxm - g.mx)) AS numer FROM g, mm),
+z AS (SELECT COUNT(*) FILTER (WHERE mx = 0) AS zeros FROM g),
+e AS (SELECT CASE WHEN 0.709 * 4096.0 * power(2.0, mm.maxm) / CAST(nm.numer AS DOUBLE) <= 160.0
+                   AND z.zeros > 0
+             THEN 64.0 * ln(64.0 / z.zeros)
+             ELSE 0.709 * 4096.0 * power(2.0, mm.maxm) / CAST(nm.numer AS DOUBLE)
+             END AS est FROM mm, nm, z)
+SELECT 'o_custkey' AS col, CAST(floor(est * 100.0 + 0.5) AS BIGINT) AS est_q FROM e
+"""
+
+
+@q("hll_distinct_custkeys", _hll_oracle_sql())
+def q_hll(sf_dir: str):
+    """Approximate distinct count via a mergeable HyperLogLog sketch —
+    deterministic md5 registers, so even the approximation hash-matches the
+    SQL replica; accuracy vs exact COUNT(DISTINCT) is pinned in pytest."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    est = ops.approx_count_distinct(ds, "o_custkey", p=6)
+    return pd.DataFrame({"col": ["o_custkey"],
+                         "est_q": [np.int64(np.floor(est * 100.0 + 0.5))]})
+
+
 @q(
     "quantiles_extendedprice",
     """
