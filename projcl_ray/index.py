@@ -67,6 +67,76 @@ def cell_neighbors(cid: np.ndarray, res_deg: float = DEFAULT_RES_DEG, ring: int 
     return nbr_y * _nx + nbr_x
 
 
+LAT_DEG_M = 111194.9  # meters per degree of latitude (π/180 · 6 371 000, floored)
+
+
+def ball_candidates_many(cid, ring: int, res_deg: float = DEFAULT_RES_DEG):
+    """Vectorized pole-safe candidate generation: for each query cell, every
+    cell that can possibly contain a point within
+    ``ring * res_deg * LAT_DEG_M`` meters (haversine) of any point in the
+    query cell. Returns flat ``(src_idx, cell_id)`` pairs (ragged fan-out),
+    duplicate-free.
+
+    Geometry (the replacement for the square ``cell_neighbors`` ring, which
+    silently dropped far-longitude matches near the poles): latitude rows
+    within ±ring of the query row; each row's longitude half-width is widened
+    to ``ceil(ring·(π/2) / cos φ_max)`` where φ_max is the larger \\|lat\\| edge
+    of the query cell and that row — rows whose widened window spans the grid
+    include EVERY longitude (near the poles cos φ → 0, so polar rows are
+    always fully included).
+
+    Exclusion guarantee (what makes ring-expansion termination provable):
+    - lat-excluded rows differ from any query-cell point by ≥ ring·res
+      degrees of latitude ⇒ distance ≥ ring·res·LAT_DEG_M (meridian bound);
+    - lon-excluded cells differ by Δλ ≥ w·res with w ≥ ring·(π/2)/cos φ_max,
+      and for two points at \\|lat\\| ≤ φ_max the exact identity
+      cos(d/R) = cos Δφ − 2 sin²(Δλ/2) cos φ1 cos φ2 gives
+      d ≥ 2R·asin(cos φ_max · sin(Δλ/2)) ≥ (2/π)·R·Δλ·cos φ_max
+      (valid for ALL Δλ ≤ π — it already accounts for over-the-pole paths)
+      ⇒ distance ≥ ring·res·LAT_DEG_M.
+    So every point of every non-candidate cell is ≥ ring·res·LAT_DEG_M away.
+    """
+    cid = np.asarray(cid, np.int64).ravel()
+    _nx, _ny = nx(res_deg), ny(res_deg)
+    ix = cid % _nx
+    iy = cid // _nx
+    n = len(cid)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    q_abs = np.maximum(np.abs(iy * res_deg - 90.0), np.abs((iy + 1) * res_deg - 90.0))
+
+    rows_lo = np.maximum(iy - ring, 0)
+    rows_hi = np.minimum(iy + ring, _ny - 1)
+    n_rows = rows_hi - rows_lo + 1
+    src1 = np.repeat(np.arange(n), n_rows)
+    start = np.concatenate([[0], np.cumsum(n_rows)[:-1]])
+    row = np.arange(int(n_rows.sum())) - np.repeat(start, n_rows) + np.repeat(rows_lo, n_rows)
+
+    r_abs = np.maximum(np.abs(row * res_deg - 90.0), np.abs((row + 1) * res_deg - 90.0))
+    phi = np.minimum(np.maximum(q_abs[src1], r_abs), 90.0)
+    c = np.cos(np.radians(phi))
+    w = np.where(
+        c > 1e-9,
+        np.ceil(ring * (np.pi / 2.0) / np.maximum(c, 1e-12)),
+        float(_nx),
+    ).astype(np.int64)
+    n_cols = np.minimum(2 * w + 1, _nx)
+
+    tot = int(n_cols.sum())
+    start2 = np.concatenate([[0], np.cumsum(n_cols)[:-1]])
+    off = np.arange(tot) - np.repeat(start2, n_cols)
+    col = (np.repeat(ix[src1] - w, n_cols) + off) % _nx
+    return np.repeat(src1, n_cols), np.repeat(row, n_cols) * _nx + col
+
+
+def ball_candidates(cell: int, ring: int, res_deg: float = DEFAULT_RES_DEG) -> np.ndarray:
+    """Single-cell :func:`ball_candidates_many`: all cells that can contain a
+    point within ``ring * res_deg * LAT_DEG_M`` meters of any point in
+    ``cell`` (pole-safe superset, duplicate-free)."""
+    _, cells = ball_candidates_many(np.array([cell], np.int64), ring, res_deg)
+    return cells
+
+
 def cells_covering_bbox(lon_min, lat_min, lon_max, lat_max,
                         res_deg: float = DEFAULT_RES_DEG) -> np.ndarray:
     """All cell ids intersecting a bounding box (small, driver-side helper for

@@ -563,10 +563,11 @@ class KnnActor:
             self._order = order
 
     def _candidates(self, cell: int, ring: int) -> np.ndarray:
-        # cell_neighbors lat-clamps at polar rows and lon-wraps when
-        # 2*ring+1 >= nx, which yields DUPLICATE cells; dedupe so no target
-        # can occupy two top-k ranks (and none is shadowed by a duplicate).
-        nbrs = np.unique(index_mod.cell_neighbors(np.array([cell]), self.res, ring=ring)[0])
+        # pole-safe geodesic ball (duplicate-free): per-row longitude widths
+        # widen by (π/2)/cos φ and polar rows include every longitude, so the
+        # exclusion guarantee ring·res·LAT_DEG_M holds across the pole too
+        # (the old square ring dropped far-longitude candidates near poles)
+        nbrs = index_mod.ball_candidates(int(cell), ring, self.res)
         lo = np.searchsorted(self._sorted_cells, nbrs, side="left")
         hi = np.searchsorted(self._sorted_cells, nbrs, side="right")
         return np.concatenate([self._order[a:b] for a, b in zip(lo, hi) if b > a]) \
@@ -603,16 +604,12 @@ class KnnActor:
                     )
                     if ring >= max_ring:
                         break
-                    # termination bound: the k-th distance must be closed by
-                    # the guaranteed coverage of ring r — any point outside the
-                    # ring is ≥ (r−1)·res cell widths away in lat OR lon; the
-                    # conservative meters-per-degree uses the band's min cosine
-                    lat_band = min(89.0, float(np.max(np.abs(lat[qi]))) + ring * self.res)
-                    mpd = 111194.9 * max(np.cos(np.radians(lat_band)), 0.02)
-                    # 2/π: great-circle distance for a pure-longitude offset Δλ
-                    # is ≥ (2/π)·R·Δλ·cosφ for any Δλ ≤ π (chord bound), so the
-                    # linear estimate must be derated to stay provably safe
-                    bound_m = (ring - 1) * self.res * mpd * (2.0 / np.pi)
+                    # termination bound: ball_candidates guarantees every
+                    # point of every non-candidate cell is ≥ ring·res·LAT_DEG_M
+                    # away (pole-safe — see index.ball_candidates_many); use
+                    # ring−1 for strictness so excluded points can't tie the
+                    # k-th candidate either
+                    bound_m = (ring - 1) * self.res * index_mod.LAT_DEG_M
                     if float(cd[:, -1].max()) <= bound_m:
                         break
                     ring = min(max(ring + 1, int(ring * 1.4)), max_ring)
@@ -740,9 +737,9 @@ def knn_join_large(
     controlled fan-out of (qid, lon, lat) rows — ids+coords only, never a
     payload); the shuffle co-locates probes with each cell's targets; a
     per-cell partial top-k then a small per-query merge follow. A query
-    FINISHES when its k-th distance is closed by the ring's guaranteed
-    coverage (same conservative 2/π chord bound as KnnActor, so results are
-    provably exact); unfinished queries re-probe with a doubled ring.
+    FINISHES when its k-th distance is closed by the ball's guaranteed
+    coverage (index.ball_candidates_many exclusion bound — pole-safe, so
+    results are provably exact); unfinished queries re-probe, ring doubled.
     Partitioning assumption: per-cell target count fits a worker (salt
     res_deg down for pathological hot cells).
 
@@ -797,11 +794,9 @@ def knn_join_large(
             lon = np.asarray(batch[lon_col], np.float64)
             lat = np.asarray(batch[lat_col], np.float64)
             cells = index_mod.cell_id(lon, lat, res_deg)
-            nbrs = np.sort(index_mod.cell_neighbors(cells, res_deg, ring=ring_eff), axis=1)
-            keep = np.ones(nbrs.shape, bool)
-            keep[:, 1:] = nbrs[:, 1:] != nbrs[:, :-1]  # dedup clamped/wrapped cells
-            rows = np.repeat(np.arange(len(lon)), nbrs.shape[1])[keep.ravel()]
-            probe_cells = nbrs.ravel()[keep.ravel()]
+            # pole-safe geodesic ball, ragged + duplicate-free (see
+            # index.ball_candidates_many for the exclusion guarantee)
+            rows, probe_cells = index_mod.ball_candidates_many(cells, ring_eff, res_deg)
             return pa.table(
                 {
                     "cell_id": pa.array(probe_cells, pa.int64()),
@@ -821,7 +816,6 @@ def knn_join_large(
         empty = pd.DataFrame(
             {
                 query_id_col: pd.Series([], dtype=qid_np),
-                "qlat": pd.Series([], dtype=np.float64),
                 target_id_col: pd.Series([], dtype=tid_np),
                 "dist": pd.Series([], dtype=np.float64),
             }
@@ -839,7 +833,6 @@ def knn_join_large(
             return pd.DataFrame(
                 {
                     query_id_col: home[query_id_col].to_numpy().astype(qid_np),
-                    "qlat": home[lat_col].to_numpy(np.float64),
                     target_id_col: pd.Series([tid_filler] * len(home), dtype=tid_np),
                     "dist": np.full(len(home), np.inf),
                 }
@@ -854,7 +847,6 @@ def knn_join_large(
         return pd.DataFrame(
             {
                 query_id_col: np.repeat(qg[query_id_col].to_numpy().astype(qid_np), kk),
-                "qlat": np.repeat(qg[lat_col].to_numpy(np.float64), kk),
                 target_id_col: tids[ci.ravel()],
                 "dist": cd.ravel(),
             }
@@ -864,10 +856,9 @@ def knn_join_large(
         def merge_q(group: "pd.DataFrame") -> "pd.DataFrame":
             g = group[np.isfinite(group["dist"].to_numpy(np.float64))]
             g = g.sort_values(["dist", target_id_col], kind="stable").head(k)
-            qlat = float(group["qlat"].iloc[0])
-            lat_band = min(89.0, abs(qlat) + ring_eff * res_deg)
-            mpd = 111194.9 * max(np.cos(np.radians(lat_band)), 0.02)
-            bound_m = (ring_eff - 1) * res_deg * mpd * (2.0 / np.pi)
+            # ball_candidates exclusion guarantee: non-candidates are
+            # ≥ ring·res·LAT_DEG_M away (pole-safe); ring−1 for strictness
+            bound_m = (ring_eff - 1) * res_deg * index_mod.LAT_DEG_M
             done = ring_eff >= max_ring or (
                 len(g) >= k and float(g["dist"].iloc[-1]) <= bound_m
             )
@@ -945,10 +936,13 @@ def within_distance_join(
     (haversine) — the relational extension of the reference's fixed-distance
     "blast radius" op (src/projcl_run.c:694-745). Sites broadcast once,
     bucketed by cell like KnnActor; each point scores ONLY the sites in the
-    ring of cells that can possibly be within range (ring width from the
-    worst-case meters-per-degree at the band, always a superset — exact).
+    geodesic ball of cells that can possibly be within range
+    (index.ball_candidates — a provable superset INCLUDING across the pole,
+    where per-row widening keeps far-longitude polar sites in play — exact).
     Emits input rows × matching sites with ``site_id``/``site_dist_m``."""
-    res_deg = max(0.5, radius_m / 111194.9 * 2.0)  # ring stays small
+    res_deg = max(0.5, radius_m / 111194.9 * 2.0)  # ball stays small
+    # coverage guarantee ring·res·LAT_DEG_M ≥ radius, +1 ring of slack
+    ring = int(np.ceil(radius_m / (index_mod.LAT_DEG_M * res_deg))) + 1
     ref = ray.put((np.asarray(site_ids), np.asarray(site_lon, np.float64),
                    np.asarray(site_lat, np.float64)))
 
@@ -977,14 +971,7 @@ def within_distance_join(
         for cell in np.unique(cells):
             qi = order_p[np.searchsorted(sorted_p, cell, "left"):
                          np.searchsorted(sorted_p, cell, "right")]
-            _, lat_min, _, lat_max = index_mod.cell_bounds(np.array([cell]), res_deg)
-            band = min(max(abs(float(lat_min)), abs(float(lat_max))), 89.0)
-            mpd = 111194.9 * max(np.cos(np.radians(band)), 0.02)
-            # 2/π chord derating (see KnnActor): any cell beyond ring r is
-            # ≥ (2/π)·r·res·mpd away — valid INCLUDING across the pole, where
-            # the ring's longitude wrap covers the far-side rows
-            ring = int(np.ceil(radius_m * (np.pi / 2.0) / (mpd * res_deg))) + 1
-            nb = np.unique(index_mod.cell_neighbors(np.array([cell]), res_deg, ring=ring)[0])
+            nb = index_mod.ball_candidates(int(cell), ring, res_deg)
             lo = np.searchsorted(sorted_cells, nb, side="left")
             hi = np.searchsorted(sorted_cells, nb, side="right")
             cand = np.concatenate([order[a:b] for a, b in zip(lo, hi) if b > a]) \

@@ -522,6 +522,69 @@ def test_within_distance_join_exact_vs_brute(ray_session):
         assert got == exp, radius
 
 
+def test_within_distance_join_small_radius_across_pole(ray_session):
+    """Round-2 advice repro: small radius (20 km), near-polar points on
+    OPPOSITE longitudes — the old square cell ring dropped the far-side site
+    because its longitude window never wrapped over the pole. The geodesic
+    ball must keep it (and stay exact vs brute at both poles)."""
+    import ray.data as rd
+
+    from projcl_ray.geodesic import haversine_matrix
+
+    qlon = np.array([0.0, -120.0, 30.0])
+    qlat = np.array([89.95, -89.92, 89.7])
+    rng = np.random.default_rng(5)
+    s_lon = np.concatenate([[170.0, 60.0, -155.0], rng.uniform(-180, 180, 60)])
+    s_lat = np.concatenate([[89.95, -89.9, 89.96], rng.uniform(88.0, 90.0, 30),
+                            rng.uniform(-90.0, -88.0, 30)])
+    s_ids = np.arange(len(s_lon))
+    ds = rd.from_items(
+        [{"qid": i, "lon": float(qlon[i]), "lat": float(qlat[i])} for i in range(len(qlon))]
+    )
+    out = ops.within_distance_join(ds, s_ids, s_lon, s_lat, 20_000.0).to_pandas()
+    d = haversine_matrix(qlon, qlat, s_lon, s_lat)
+    qi, si = np.nonzero(d <= 20_000.0)
+    exp = {(int(q), int(s)) for q, s in zip(qi, si)}
+    got = set() if not len(out) else {
+        (int(q), int(s)) for q, s in zip(out["qid"], out["site_id"])
+    }
+    assert (0, 0) in exp  # the advice's 11 km over-the-pole pair is live
+    assert got == exp
+
+
+def test_knn_small_radius_polar_exact(ray_session):
+    """kNN pruned path + dataset×dataset path at tight resolutions near the
+    poles: nearest neighbors reached over the pole (far longitude) must win —
+    the knn_join_large termination bound shared the square-ring flaw."""
+    import ray.data as rd
+
+    from projcl_ray.spatial import knn_brute
+
+    qlon = np.array([0.0, 10.0, -90.0])
+    qlat = np.array([89.95, 89.9, -89.93])
+    t_lon = np.array([170.0, -170.0, 90.0, 12.0, -88.0])
+    t_lat = np.array([89.95, 89.9, -89.95, 89.2, -89.0])
+    t_ids = np.arange(5)
+    idx, exp = knn_brute(qlon, qlat, t_lon, t_lat, 2, order_key=t_ids)
+    q_ds = rd.from_items(
+        [{"qid": i, "lon": float(qlon[i]), "lat": float(qlat[i])} for i in range(3)]
+    )
+    out = ops.knn_join(q_ds, t_ids, t_lon, t_lat, k=2, prune_res_deg=0.5).to_pandas()
+    got = out.sort_values(["qid", "neighbor_rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["neighbor_id"].to_numpy().reshape(-1, 2), t_ids[idx])
+    np.testing.assert_allclose(got["distance_m"].to_numpy().reshape(-1, 2), exp, rtol=1e-12)
+
+    t_ds = rd.from_items(
+        [{"tid": int(j), "lon": float(t_lon[j]), "lat": float(t_lat[j])} for j in range(5)]
+    )
+    out2 = ops.knn_join_large(
+        q_ds, t_ds, k=2, query_id_col="qid", target_id_col="tid", res_deg=0.5
+    ).to_pandas()
+    got2 = out2.sort_values(["qid", "neighbor_rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got2["tid"].to_numpy().reshape(-1, 2), t_ids[idx])
+    np.testing.assert_allclose(got2["distance_m"].to_numpy().reshape(-1, 2), exp, rtol=1e-12)
+
+
 def test_hll_accuracy_and_merge(ray_session, sf_dir):
     """HLL estimate within 3σ (σ = 1.04/√m) of the exact distinct count at
     several cardinalities, and per-batch register merging must equal a
