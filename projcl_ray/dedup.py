@@ -259,43 +259,114 @@ def verify_candidates(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    n_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of LSH candidate pairs — the second half of
     the near-dup pipeline (candidates → verified duplicates).
 
-    Scale shape: the candidate id set (bounded by the LSH output, orders of
-    magnitude smaller than the corpus) drives a payload-free semi-join that
-    shrinks ``docs`` to candidate texts only; their shingle sets broadcast
-    once via ``ray.put`` and every pair verifies against the broadcast —
-    the corpus itself never shuffles. Emits (id_a, id_b, jaccard) for pairs
-    with exact character-k-gram Jaccard ≥ threshold.
+    Scale shape: pairs and docs CO-PARTITION on the id — two bounded-group
+    hash shuffles, keyed on ``id_a`` then ``id_b`` — and each part attaches
+    the candidate's text with one vectorized pandas merge. Nothing
+    broadcasts, and the driver never holds candidate ids or shingle sets
+    (the round-2 design ``ray.put`` a dict of EVERY candidate's shingles;
+    candidates are typically 10-30% of a web corpus, so that dict cannot
+    fit at 100 TB). Non-candidate docs drop in the inner merge, so only
+    candidate-pair texts reach the verify step, which shingles each part's
+    unique texts once. Emits (id_a, id_b, jaccard) for pairs with exact
+    character-k-gram Jaccard ≥ threshold (two sub-k-char docs both collapse
+    to the padded whole-doc shingle; an empty gram union counts as 1.0).
     """
-    from .ops import _cached, semi_join_keys
+    import pandas as pd
 
-    id_df = pairs.select_columns([id_a, id_b]).to_pandas()
-    ids = np.unique(np.concatenate([id_df[id_a].to_numpy(), id_df[id_b].to_numpy()])) \
-        if len(id_df) else np.empty(0, np.int64)
-    cand = semi_join_keys(
-        docs.select_columns([doc_id_col, text_col]), ids, doc_id_col
-    ).to_pandas()
-    shingles = {
-        i: frozenset(_shingle_hashes(t, k).tolist())
-        for i, t in zip(cand[doc_id_col], cand[text_col])
-    }
-    ref = ray.put(shingles)
+    from .ops import _adaptive_parts, hash_key_u64
+
+    pairs = pairs.select_columns([id_a, id_b]).materialize()
+    n_pairs = pairs.count()
+    id_type = docs.schema().base_schema.field(doc_id_col).type
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            id_a: pa.array([], id_type), id_b: pa.array([], id_type),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    if n_parts is None:
+        n_parts = _adaptive_parts(n_pairs)
+
+    if pa.types.is_integer(id_type):
+        id_filler: object = 0
+    elif pa.types.is_floating(id_type):
+        id_filler = 0.0
+    else:
+        id_filler = ""
+    docs_slim = docs.select_columns([doc_id_col, text_col])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        p = (hash_key_u64(np.asarray(batch["vkey"])) * np.uint64(2654435761)) \
+            % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(p.astype(np.int64)))
+
+    def _attach_text(pair_ds: ray.data.Dataset, key_col: str, text_out: str,
+                     carry: list[tuple[str, object, pa.DataType]]):
+        """Inner-join ``docs_slim`` text onto ``pair_ds`` rows keyed by
+        ``key_col`` via one bounded-group co-partition shuffle. ``carry`` is
+        (name, filler, type) for the pair columns to pass through — fillers
+        (not nulls) keep int ids int inside pandas groups."""
+
+        def tag_p(batch: pa.Table) -> pa.Table:
+            t = pa.table({"vkey": batch[key_col], "vtxt":
+                          pa.array([""] * batch.num_rows, pa.string())})
+            for c, _, _ in carry:
+                t = t.append_column(c, batch[c])
+            t = t.append_column("vrole", pa.array(np.zeros(batch.num_rows, np.int8)))
+            return t.select(sorted(t.column_names))
+
+        def tag_d(batch: pa.Table) -> pa.Table:
+            t = pa.table({"vkey": batch[doc_id_col], "vtxt": batch[text_col]})
+            for c, fill, typ in carry:
+                t = t.append_column(c, pa.array([fill] * batch.num_rows, typ))
+            t = t.append_column("vrole", pa.array(np.ones(batch.num_rows, np.int8)))
+            return t.select(sorted(t.column_names))
+
+        carry_names = [c for c, _, _ in carry]
+
+        def join_group(group: "pd.DataFrame") -> "pd.DataFrame":
+            pf = group[group["vrole"] == 0][["vkey"] + carry_names]
+            df_ = group[group["vrole"] == 1][["vkey", "vtxt"]]
+            m = pf.merge(df_, on="vkey")
+            return m.rename(columns={"vkey": key_col, "vtxt": text_out})
+
+        return (
+            pair_ds.map_batches(tag_p, batch_format="pyarrow")
+            .union(docs_slim.map_batches(tag_d, batch_format="pyarrow"))
+            .map_batches(_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(join_group, batch_format="pandas")
+        )
+
+    with_a = _attach_text(pairs, id_a, "text_a", [(id_b, id_filler, id_type)])
+    with_both = _attach_text(with_a, id_b, "text_b",
+                             [(id_a, id_filler, id_type), ("text_a", "", pa.string())])
 
     def _verify(batch: pa.Table) -> pa.Table:
-        sh = _cached(("verify_shingles", ref.hex()), lambda: ray.get(ref))
-        aa = batch[id_a].to_pylist()
-        bb = batch[id_b].to_pylist()
-        jac = np.array(
-            [len(sh[x] & sh[y]) / len(sh[x] | sh[y]) for x, y in zip(aa, bb)],
-            np.float64,
-        ) if len(aa) else np.empty(0, np.float64)
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        cache: dict = {}
+
+        def sh(t):
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = frozenset(_shingle_hashes(t, k).tolist())
+            return s
+
+        jac = np.empty(len(ta), np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = sh(x), sh(y)
+            nu = len(sa | sb)
+            jac[i] = (len(sa & sb) / nu) if nu else 1.0
+        out = pa.table({id_a: batch[id_a], id_b: batch[id_b],
+                        "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pa.array(jac >= threshold))
 
-    return pairs.map_batches(_verify, batch_format="pyarrow")
+    return with_both.map_batches(_verify, batch_format="pyarrow")
 
 
 def dup_components(
@@ -305,50 +376,178 @@ def dup_components(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    n_parts: int | None = None,
+    max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """The keep/drop decision that ends a dedup pipeline: connected
     components over the (verified) duplicate-pair graph. Every id gets
     ``component_id`` = the minimum id reachable through duplicate pairs
     (singletons map to themselves); keep rule = ``id == component_id``.
 
-    Scale shape: the pair graph is orders of magnitude smaller than the
-    corpus (it only contains near-duplicates), so union-find runs driver-side
-    over the collected pairs — bounded by the duplicate volume, like
-    :func:`verify_candidates` — and the id→component relabeling broadcasts
-    back through one vectorized ``map_batches`` over the full id column.
+    Scale shape — fully DISTRIBUTED hash-min label propagation with pointer
+    jumping (the driver never holds the pair graph; web-scale corpora have
+    billions of duplicate pairs). Per round:
+
+    1. ONE bounded-group co-partition join of the static symmetric edge list
+       PLUS the current label-pointer edges ``label(x) → x`` against the
+       current labels, keyed ``hash(src) % n_parts`` — emits
+       ``(node, candidate_label)`` messages. The pointer edges deliver
+       ``label(label(x))`` to ``x`` (path halving), so convergence is
+       O(log diameter) rounds instead of O(diameter) on long chains.
+    2. ONE native payload-free ``groupby(node).aggregate(Min)`` over
+       messages ∪ current labels takes each node's minimum label and, via a
+       null-for-messages ``old`` column, the previous label in the same
+       shuffle.
+
+    Labels only ever decrease, so a round with zero changed labels is the
+    exact fixpoint (= connected components). Every round materializes only
+    (node, label) id pairs — never texts, never the graph on one machine.
+    The final id → component relabeling is one more bounded co-partition
+    join against the full id column.
     """
-    pdf = pairs.select_columns([pair_a, pair_b]).to_pandas()
-    if pair_a not in pdf.columns:  # zero pairs: empty datasets lose columns
-        pdf = pdf.reindex(columns=[pair_a, pair_b])
-    parent: dict = {}
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
+    from .ops import _adaptive_parts, hash_key_u64
 
-    for a, b in zip(pdf[pair_a], pdf[pair_b]):
-        ra, rb = find(a), find(b)
-        if ra != rb:  # union by min id (the canonical representative)
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-    label = {x: find(x) for x in list(parent)}
-    ref = ray.put(label)
+    # --- static symmetric edge list (ids only; reused every round) ---------
+    def sym(batch: pa.Table) -> pa.Table:
+        t1 = pa.table({"src": batch[pair_a], "dst": batch[pair_b]})
+        t2 = pa.table({"src": batch[pair_b], "dst": batch[pair_a]})
+        return pa.concat_tables([t1, t2]).combine_chunks()
 
-    def _relabel(batch: pa.Table) -> pa.Table:
-        from .ops import _cached
+    edges = pairs.select_columns([pair_a, pair_b]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+    n_edges = edges.count()
 
-        lbl = _cached(("dupcomp", ref.hex()), lambda: ray.get(ref))
-        ids = batch[id_col].to_pylist()
-        return batch.append_column(
-            "component_id", pa.array([lbl.get(i, i) for i in ids],
-                                     batch.schema.field(id_col).type)
+    ids_schema = ids_ds.schema().base_schema
+    id_type = ids_schema.field(id_col).type
+
+    if n_edges == 0:  # no duplicates: every id is its own component
+        return ids_ds.map_batches(
+            lambda b: b.append_column("component_id", b[id_col]),
+            batch_format="pyarrow",
         )
 
-    return ids_ds.map_batches(_relabel, batch_format="pyarrow")
+    if n_parts is None:
+        n_parts = _adaptive_parts(n_edges)
+    node_type = edges.schema().base_schema.field("src").type
+    # bound block counts: unions + sort shuffles otherwise MULTIPLY blocks
+    # every round (output partitions track input blocks), turning O(log D)
+    # rounds into geometrically slower shuffles of thousands of tiny blocks
+    edges = edges.repartition(n_parts).materialize()
+
+    def _part_on(col: str):
+        def _p(batch: pa.Table) -> pa.Table:
+            p = (hash_key_u64(np.asarray(batch[col])) * np.uint64(2654435761)) \
+                % np.uint64(n_parts)
+            return batch.append_column("part", pa.array(p.astype(np.int64)))
+
+        return _p
+
+    # --- initial labels: label(x) = min(x, min neighbor) (a free round) ----
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="lbl")).map_batches(
+        lambda b: pa.table({"node": b["src"],
+                            "lbl": pc.min_element_wise(b["src"], b["lbl"])}),
+        batch_format="pyarrow",
+    ).repartition(n_parts).materialize()
+
+    # rows in the join shuffle: (src, val, cc_role) — role 0 = edge (val =
+    # dst), role 1 = label (val = lbl). Same dtype either way, so no nulls
+    # enter pandas groups (nulls would silently upcast int ids to float).
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "val": batch["dst"],
+                         "cc_role": pa.array(np.zeros(batch.num_rows, np.int8))})
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["node"], "val": batch["lbl"],
+                         "cc_role": pa.array(np.ones(batch.num_rows, np.int8))})
+
+    def ptr_edges(batch: pa.Table) -> pa.Table:
+        # pointer jumping: x receives label(label(x)) next round
+        return pa.table({"src": batch["lbl"], "dst": batch["node"]})
+
+    def emit_msgs(group: "pd.DataFrame") -> "pd.DataFrame":
+        ef = group[group["cc_role"] == 0]
+        lf = group[group["cc_role"] == 1][["src", "val"]]
+        m = ef[["src", "val"]].merge(lf, on="src", suffixes=("_dst", "_lbl"))
+        return pd.DataFrame({"node": m["val_dst"], "lbl": m["val_lbl"]})
+
+    for _ in range(max_rounds):
+        all_edges = edges.union(labels.map_batches(ptr_edges, batch_format="pyarrow"))
+        msgs = (
+            all_edges.map_batches(tag_edge, batch_format="pyarrow")
+            .union(labels.map_batches(tag_label, batch_format="pyarrow"))
+            .map_batches(_part_on("src"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(emit_msgs, batch_format="pandas")
+        )
+        # min(new candidates ∪ old label) per node; `old` rides the same
+        # shuffle (null on message rows, Min ignores nulls)
+        lab_rows = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"], "old": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        msg_rows = msgs.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"],
+                                "old": pa.nulls(b.num_rows, node_type)}),
+            batch_format="pyarrow",
+        )
+        agg = lab_rows.union(msg_rows).groupby("node").aggregate(
+            Min("lbl", alias_name="lbl"), Min("old", alias_name="old")
+        ).repartition(n_parts).materialize()
+        changed = agg.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [pc.sum(pc.cast(pc.not_equal(b["lbl"], b["old"]),
+                                pa.int64())).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+        labels = agg.drop_columns(["old"])
+        if changed == 0:
+            break
+
+    # --- relabel the full id column: bounded co-partition LEFT join --------
+    other_cols = [c for c in ids_schema.names if c != id_col]
+    int_cols = [c for c in ids_schema.names
+                if pa.types.is_integer(ids_schema.field(c).type)]
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("cc_lbl", pa.nulls(batch.num_rows, node_type))
+        batch = batch.append_column("cc_role", pa.array(np.zeros(batch.num_rows, np.int8)))
+        return batch.select(sorted(batch.column_names))
+
+    def tag_final(batch: pa.Table) -> pa.Table:
+        t = pa.table({id_col: batch["node"], "cc_lbl": batch["lbl"]})
+        t = t.append_column("cc_role", pa.array(np.ones(batch.num_rows, np.int8)))
+        for c in other_cols:
+            t = t.append_column(c, pa.nulls(batch.num_rows, ids_schema.field(c).type))
+        return t.select(sorted(t.column_names))
+
+    out_cols = list(ids_schema.names) + ["component_id"]
+
+    def relabel_group(group: "pd.DataFrame") -> "pd.DataFrame":
+        idf = group[group["cc_role"] == 0].drop(columns=["cc_lbl", "cc_role"])
+        lbf = group[group["cc_role"] == 1][[id_col, "cc_lbl"]]
+        m = idf.merge(lbf, on=id_col, how="left")
+        m["component_id"] = m["cc_lbl"].where(m["cc_lbl"].notna(), m[id_col])
+        m = m[out_cols]
+        # the union's null-filled rows upcast int columns to float in pandas
+        # groups; restore the declared dtypes (join output is null-free)
+        for c in int_cols:
+            m[c] = m[c].astype(np.int64)
+        if pa.types.is_integer(id_type):
+            m["component_id"] = m["component_id"].astype(np.int64)
+        return m
+
+    return (
+        ids_ds.map_batches(tag_ids, batch_format="pyarrow")
+        .union(labels.map_batches(tag_final, batch_format="pyarrow"))
+        .map_batches(_part_on(id_col), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(relabel_group, batch_format="pandas")
+    )
 
 
 def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:

@@ -682,8 +682,15 @@ def stratified_sample(
         keys = hash_key_u64(np.asarray(batch[key_col]))
         mixed = keys + np.uint64(seed) * np.uint64(2654435769)
         h = (mixed * np.uint64(2654435761)) % np.uint64(4294967296)
-        strata = batch[strata_col].to_pylist()
-        limit = np.array([thr.get(s, thr_default) for s in strata], np.uint64)
+        # vectorized stratum→threshold: dictionary-encode the strata column
+        # (one pass in Arrow C++), map only the few DISTINCT values through
+        # the fractions dict, then gather — no per-row Python
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch[strata_col].combine_chunks())
+        lut = np.array([thr.get(s, thr_default) for s in enc.dictionary.to_pylist()],
+                       np.uint64)
+        limit = lut[enc.indices.to_numpy(zero_copy_only=False)]
         return batch.filter(pa.array(h < limit))
 
     return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)
@@ -699,16 +706,30 @@ def group_quantiles(
     payload-free groupby shuffle of (key, value), then a vectorized sort +
     rank-select per group. The group is the unit of memory (bounded by
     per-key volume, like sessionize); for single groups larger than a worker
-    use :func:`distributed_quantiles` on the filtered key instead."""
+    use :func:`distributed_quantiles` on the filtered key instead.
+
+    Output columns ``q<percent>`` (q25, q50, q99) for two-decimal quantiles;
+    finer quantiles keep their full digits (0.995 → q995) so labels never
+    collide — duplicate labels raise."""
     import pandas as pd
+
+    def _label(q: float) -> str:
+        pct = q * 100.0
+        if pct == int(pct):
+            return f"q{int(pct):02d}"
+        return "q" + format(q, ".10g")[2:]  # 0.995 -> q995 (no truncation)
+
+    labels = [_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels {labels} for qs={qs}")
 
     def per_group(group: "pd.DataFrame") -> "pd.DataFrame":
         v = np.sort(group[col].to_numpy(np.float64))
         n = len(v)
         row = {key_col: [group[key_col].iloc[0]]}
-        for q in qs:
+        for q, lab in zip(qs, labels):
             idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
-            row[f"q{int(q * 100):02d}"] = [float(v[idx])]
+            row[lab] = [float(v[idx])]
         return pd.DataFrame(row)
 
     return ds.select_columns([key_col, col]).groupby(key_col).map_groups(

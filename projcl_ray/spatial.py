@@ -53,12 +53,16 @@ def polygon_area(poly: np.ndarray) -> float:
 
 
 def polygon_centroid(poly: np.ndarray) -> tuple[float, float]:
-    """Planar centroid of a simple polygon (shoelace-weighted)."""
+    """Planar centroid of a simple polygon (shoelace-weighted). Degenerate
+    (zero-area: collinear or repeated vertices) polygons have no area-weighted
+    centroid — fall back to the vertex mean instead of returning inf/nan."""
     vx, vy = np.asarray(poly[:, 0], np.float64), np.asarray(poly[:, 1], np.float64)
     if vx[0] == vx[-1] and vy[0] == vy[-1]:
         vx, vy = vx[:-1], vy[:-1]
     cross = vx * np.roll(vy, -1) - np.roll(vx, -1) * vy
     a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(vx.mean()), float(vy.mean())
     cx = ((vx + np.roll(vx, -1)) * cross).sum() / (6.0 * a)
     cy = ((vy + np.roll(vy, -1)) * cross).sum() / (6.0 * a)
     return float(cx), float(cy)

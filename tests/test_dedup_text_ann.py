@@ -304,3 +304,33 @@ def test_dup_components_union_find(ray_session):
         assert out[i] == i
     keep = {i for i in range(10) if out[i] == i}
     assert keep == {0, 1, 2, 3, 4, 6, 8}
+
+
+def test_dup_components_long_chain_distributed(ray_session):
+    """Pointer-jumping hash-min must collapse a LONG chain (the worst case
+    for plain per-edge propagation: diameter = n) in O(log n) rounds and
+    match a union-find oracle, with the driver never collecting the pair
+    graph — plus a branched component and string-typed ids."""
+    import ray.data as rd
+
+    n = 250
+    chain = [(i, i + 1) for i in range(199)]  # ids 0..199: one component
+    extra = [(210, 230), (230, 211), (215, 216)]
+    ids = rd.from_items([{"doc_id": i} for i in range(n)])
+    pairs = rd.from_items([{"id_a": a, "id_b": b} for a, b in chain + extra])
+    out = dedup.dup_components(ids, pairs, n_parts=8).to_pandas().sort_values("doc_id")
+    got = out["component_id"].to_numpy()
+    exp = np.arange(n)
+    exp[:200] = 0
+    exp[[210, 230, 211]] = 210
+    exp[[215, 216]] = 215
+    np.testing.assert_array_equal(got, exp)
+
+    # string ids: lexicographic-min representative
+    s_ids = rd.from_items([{"doc_id": f"d{i:03d}"} for i in range(6)])
+    s_pairs = rd.from_items([{"id_a": "d004", "id_b": "d001"},
+                             {"id_a": "d001", "id_b": "d003"}])
+    s_out = dedup.dup_components(s_ids, s_pairs, n_parts=4).to_pandas()
+    s_map = dict(zip(s_out["doc_id"], s_out["component_id"]))
+    assert s_map["d001"] == s_map["d003"] == s_map["d004"] == "d001"
+    assert s_map["d000"] == "d000" and s_map["d005"] == "d005"
