@@ -273,6 +273,67 @@ def karney_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84",
     return s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape)
 
 
+def karney_direct(lon, lat, azimuth_deg, distance_m, spheroid: str = "WGS_84",
+                  newton_iters: int = 30):
+    """Ellipsoidal DIRECT problem by Karney's auxiliary-sphere method (Karney
+    2013 §3-4) — the mirror of :func:`karney_inverse`, completing the
+    north-star's "Vincenty/Karney" pair on the direct side. The geodesic
+    integrals are evaluated by the same Gauss-Legendre quadrature, and σ2 is
+    found by Newton on s(σ2) = s12, which is globally convergent because
+    ds/dσ = b·√(1 + k²sin²σ) ≥ b > 0 (strictly monotone, smooth).
+
+    Returns (lon2_deg, lat2_deg, back_azimuth_deg) with the same conventions
+    as :func:`vincenty_direct` (azimuths = direction of travel, [0, 360)).
+    """
+    info = get_spheroid(spheroid)
+    b = info.minor_axis
+    f = info.flattening
+    ep2 = info.ecc2 / info.one_ecc2
+
+    lam1 = np.asarray(lon, np.float64) * DEG
+    phi1 = np.asarray(lat, np.float64) * DEG
+    alpha1 = np.asarray(azimuth_deg, np.float64) * DEG
+    s12 = np.asarray(distance_m, np.float64)
+    shape = np.broadcast_shapes(lam1.shape, phi1.shape, alpha1.shape, s12.shape)
+    lam1, phi1, alpha1, s12 = (np.broadcast_to(v, shape).astype(np.float64)
+                               for v in (lam1, phi1, alpha1, s12))
+
+    beta1 = np.arctan((1.0 - f) * np.tan(phi1))
+    sbet1, cbet1 = np.sin(beta1), np.maximum(np.cos(beta1), _TINY)
+    salp1, calp1 = np.sin(alpha1), np.cos(alpha1)
+    salp0 = salp1 * cbet1  # Clairaut's constant (eq. 10)
+    calp0 = np.hypot(calp1, salp1 * sbet1)
+    ssig1, csig1 = sbet1, calp1 * cbet1
+    sig1 = np.arctan2(ssig1, csig1)
+    k2 = ep2 * calp0 * calp0
+
+    def i1(t):
+        return np.sqrt(1.0 + k2[..., None] * np.sin(t) ** 2)
+
+    def i3(t):
+        return (2.0 - f) / (1.0 + (1.0 - f) * np.sqrt(1.0 + k2[..., None] * np.sin(t) ** 2))
+
+    target = s12 / b + _gl_integral(sig1, i1)
+    sig2 = sig1 + s12 / (b * np.sqrt(1.0 + 0.5 * k2))  # spherical-ish start
+    for _ in range(newton_iters):
+        step = (_gl_integral(sig2, i1) - target) / np.sqrt(1.0 + k2 * np.sin(sig2) ** 2)
+        sig2 = sig2 - step
+        if np.all(np.abs(step) < 1e-15):
+            break
+
+    ssig2, csig2 = np.sin(sig2), np.cos(sig2)
+    sbet2 = calp0 * ssig2
+    cbet2 = np.hypot(salp0, calp0 * csig2)
+    phi2 = np.arctan2(sbet2, (1.0 - f) * np.maximum(cbet2, _TINY))
+    alp2 = np.arctan2(salp0, calp0 * csig2)
+    omg1 = np.arctan2(salp0 * ssig1, csig1)
+    omg2 = np.arctan2(salp0 * ssig2, csig2)
+    lam12 = (omg2 - omg1) - f * salp0 * (_gl_integral(sig2, i3) - _gl_integral(sig1, i3))
+    lam2 = lam1 + lam12
+    lam2 = (lam2 + math.pi) % (2.0 * math.pi) - math.pi
+    return lam2 / DEG, phi2 / DEG, (alp2 / DEG) % 360.0
+
+
 def vincenty_inverse(lon1, lat1, lon2, lat2, spheroid: str = "WGS_84", max_iter: int = 200):
     """Ellipsoidal inverse problem (Vincenty 1975): distance + fwd/back azimuths.
 

@@ -6,11 +6,12 @@ caption: string, phash: int64)`` plus our georeferencing sidecar columns
 ``(lon0: float64, lat0: float64, px_deg: float64, src_datum: string)``
 (FIXTURES.md §1) needed to warp/tile.
 
-Codec policy: this container has no image libraries (no PIL/cv2), so the
-first-class format is ``fmt="raw"`` — uncompressed RGBA bytes, h·w·4 uint8,
-C-order — which makes the whole decode→warp→encode pipeline real and testable.
-PNG/JPEG decode hooks exist but are explicit stubs (NotImplementedError) with
-the Ray-side plumbing (schema, actor signature, batch layout) identical.
+Codec policy: ``fmt="raw"`` (uncompressed RGBA bytes, h·w·4 uint8, C-order)
+and ``fmt="png"`` are both first-class: PNG runs on the in-repo pure-Python
+codec (:mod:`projcl_ray.png`, stdlib zlib + numpy — no PIL/cv2 needed), so
+the whole decode→warp→encode pipeline is real for compressed images too.
+JPEG decode requires a DCT codec library (PIL/cv2 hook, env-stubbed here);
+its Ray-side plumbing (schema, actor signature, batch layout) is identical.
 """
 
 from __future__ import annotations
@@ -64,7 +65,11 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = lum
         out[..., 3] = 255
         return out
-    if fmt in ("png", "jpeg"):
+    if fmt == "png":
+        from . import png as _png
+
+        return _png.decode_png(buf)
+    if fmt == "jpeg":
         codec = _codec_module()
         if codec == "pil":
             import io
@@ -91,18 +96,16 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
-def encode_image(arr: np.ndarray, fmt: str = "raw") -> bytes:
-    """(h, w, 4) uint8 → bytes. ``raw`` always; png via PIL when importable."""
+def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
+    """(h, w, 4) uint8 → bytes. ``raw`` and ``png`` always available (png via
+    the in-repo pure-Python codec; pass ``filter_type=4`` for ~2× smaller
+    files at the cost of a slower per-pixel decode path)."""
     if fmt == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
-    if fmt == "png" and _codec_module() == "pil":
-        import io
+    if fmt == "png":
+        from . import png as _png
 
-        from PIL import Image
-
-        out = io.BytesIO()
-        Image.fromarray(np.ascontiguousarray(arr, dtype=np.uint8), "RGBA").save(out, "PNG")
-        return out.getvalue()
+        return _png.encode_png(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
     raise NotImplementedError(f"{fmt} encode not available in this environment")
 
 

@@ -209,6 +209,10 @@ def forward_geodesic(
         n, m = len(lon), len(az)
         if method == "sphere":
             lon2, lat2 = forward_sphere(lon[:, None], lat[:, None], az[None, :], distance_m, radius)
+        elif method == "karney":
+            from .geodesic import karney_direct
+
+            lon2, lat2, _ = karney_direct(lon[:, None], lat[:, None], az[None, :], distance_m, spheroid)
         else:
             lon2, lat2, _ = vincenty_direct(lon[:, None], lat[:, None], az[None, :], distance_m, spheroid)
         out = {k: np.repeat(np.asarray(v), m) for k, v in batch.items()}

@@ -619,6 +619,19 @@ def q_forward_vincenty(sf_dir: str):
     return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
 
 
+@q("forward_geodesic_karney", _vincenty_direct_oracle_sql(2_000_000.0))
+def q_forward_karney(sf_dir: str):
+    """Karney DIRECT solver (auxiliary sphere + quadrature, geodesic.py) —
+    gated against the SAME unrolled Vincenty-direct SQL oracle: both exact
+    ellipsoidal algorithms agree to ~1e-9 deg, far inside the 1e-4-degree
+    quantization lattice."""
+    ds = ops.forward_geodesic(_customer_points(sf_dir), [30.0, 120.0, 210.0, 300.0],
+                              2_000_000.0, method="karney", spheroid="WGS_84")
+    df = ds.select_columns(["c_custkey", "azimuth_deg", "lon2", "lat2"]).to_pandas()
+    df = _quant_df(df, {"lon2": 1e4, "lat2": 1e4})
+    return df.rename(columns={"lon2": "lon2_q", "lat2": "lat2_q"})
+
+
 @q("vincenty_inverse_matrix", _vincenty_oracle_sql())
 def q_vincenty_matrix(sf_dir: str):
     cust = _customer_points(sf_dir)
@@ -1305,6 +1318,36 @@ def q_warp_tiles(sf_dir: str):
     return tiles.select_columns(
         ["image_id", "caption", "cell_id", "tile_col", "tile_row", "tile_idx", "w", "h"]
     )
+
+
+@q("png_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+def q_png_ingest(sf_dir: str):
+    """Compressed-ingest pipeline: the images table stored as PNG (in-repo
+    pure-Python codec, projcl_ray/png.py) → decode → warp → tile. Returns the
+    tile layout plus a per-tile phash so the driver's rows-only gate still
+    pins pixel content; tests/test_warp.py proves bit-equality with the raw
+    path (the reference ingests arbitrary images, projcl_warp.c:68-107)."""
+    from . import png as png_mod
+    from .images import decode_image, phash64, synth_images_table
+
+    rows = synth_images_table(24, seed=42).to_pylist()
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        r["bytes"] = png_mod.encode_png(img, filter_type=4)
+        r["fmt"] = "png"
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8)
+
+    def tile_hash(batch: pa.Table) -> pa.Table:
+        hs = [phash64(decode_image(b, 64, 64, "raw"))
+              for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
+            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
+        })
+
+    return tiles.map_batches(tile_hash, batch_format="pyarrow")
 
 
 @q("flagship_cells")

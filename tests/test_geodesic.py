@@ -185,3 +185,41 @@ def test_vincenty_inverse_rescue_uses_karney():
     lo, la, _ = vincenty_direct(lon1, lat1, a1, d)
     err_deg = np.maximum(np.abs((lo - lon2 + 180) % 360 - 180), np.abs(la - lat2))
     assert err_deg.max() * 111194.9 < 1e-3
+
+
+def test_karney_direct_matches_vincenty_and_roundtrips():
+    """Karney DIRECT (auxiliary sphere + quadrature Newton on s(σ)) must agree
+    with Vincenty direct to ≲0.1 mm on general inputs, and
+    direct(inverse(p1, p2)) must land back on p2 sub-mm INCLUDING exact
+    antipodes (where Vincenty's inverse diverges and the Karney pair is the
+    only route) — the north-star's Vincenty/Karney pair, both directions."""
+    from projcl_ray.geodesic import karney_direct, karney_inverse, vincenty_direct
+
+    rng = np.random.default_rng(11)
+    lon1 = rng.uniform(-180, 180, 500)
+    lat1 = rng.uniform(-89, 89, 500)
+    az = rng.uniform(0, 360, 500)
+    s = rng.uniform(1.0, 19_000_000.0, 500)
+    vx, vy, vb = vincenty_direct(lon1, lat1, az, s)
+    kx, ky, kb = karney_direct(lon1, lat1, az, s)
+    assert np.abs((vx - kx + 180) % 360 - 180).max() * 111194.9 < 1e-3
+    assert np.abs(vy - ky).max() * 111194.9 < 1e-3
+    assert np.abs((vb - kb + 180) % 360 - 180).max() < 1e-8
+
+    # round-trip through the Karney pair, with planted near/exact antipodes
+    lon2 = rng.uniform(-180, 180, 500)
+    lat2 = rng.uniform(-89.9, 89.9, 500)
+    lon2[:40] = ((lon1[:40] + 360.0) % 360.0) - 180.0
+    lat2[:40] = -lat1[:40] + rng.uniform(-0.02, 0.02, 40)
+    lon2[40:50] = ((lon1[40:50] + 360.0) % 360.0) - 180.0
+    lat2[40:50] = -lat1[40:50]
+    d, a1, _ = karney_inverse(lon1, lat1, lon2, lat2)
+    gx, gy, _ = karney_direct(lon1, lat1, a1, d)
+    lon_err_m = np.abs((gx - lon2 + 180) % 360 - 180) * 111194.9 * np.cos(np.radians(lat2))
+    lat_err_m = np.abs(gy - lat2) * 111194.9
+    assert max(lon_err_m.max(), lat_err_m.max()) < 1e-3  # sub-mm
+
+    # a meridian geodesic crosses the pole onto the opposite longitude
+    gx, gy, gb = karney_direct(np.array([10.0]), np.array([80.0]),
+                               np.array([0.0]), np.array([2_500_000.0]))
+    assert abs(gx[0] - (-170.0)) < 1e-9 and abs(gb[0] - 180.0) < 1e-9

@@ -147,7 +147,7 @@ def test_codec_roundtrip_and_phash():
     assert decode_image(buf, 40, 30, "raw").tobytes() == img.tobytes()
     assert phash64(img) == phash64(img.copy())
     assert phash64(img) != phash64(synth_pixels(6, 40, 30))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # in-repo png codec rejects bad signature
         decode_image(b"", 1, 1, "png")
 
 
@@ -207,22 +207,84 @@ def test_projected_source_identity_warp():
     assert np.all(np.isfinite(out2)) and (out2[..., 3] > 0).mean() > 0.7
 
 
-def test_codec_hook_png_roundtrip_when_available():
-    """Optional real-codec hook: png encode→decode must round-trip pixels
-    bit-exactly. Skipped when neither PIL nor cv2 is importable (this
-    container); the raw path is exercised everywhere else."""
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """fmt="png" is first-class via the in-repo pure-Python codec (no
+    PIL/cv2): encode→decode must round-trip bit-exactly for every scanline
+    filter and input shape, reject corrupt streams, and decode
+    foreign-feature PNGs (palette + tRNS)."""
+    import struct
+    import zlib
+
     import pytest
 
-    from projcl_ray.images import _codec_module, decode_image, encode_image, synth_pixels
+    from projcl_ray import png as P
+    from projcl_ray.images import decode_image, encode_image, synth_pixels
 
-    if _codec_module() is None:
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG", 4, 4, "png")
-        pytest.skip("no PIL/cv2 in this environment (raw path covered elsewhere)")
     img = synth_pixels(3, 32, 24)
-    buf = encode_image(img, "png")
-    back = decode_image(buf, 32, 24, "png")
-    np.testing.assert_array_equal(back, img)
+    for ft in range(5):
+        buf = encode_image(img, "png", filter_type=ft)
+        np.testing.assert_array_equal(decode_image(buf, 32, 24, "png"), img)
+    # gray and RGB inputs decode to RGBA
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    out = P.decode_png(P.encode_png(rgb, filter_type=4))
+    np.testing.assert_array_equal(out[..., :3], rgb)
+    assert (out[..., 3] == 255).all()
+    # corrupt CRC rejected
+    bad = bytearray(P.encode_png(img))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        P.decode_png(bytes(bad))
+    # palette + tRNS (a shape only foreign encoders produce)
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+    idx = rng.integers(0, 3, (4, 5), dtype=np.uint8)
+    stream = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+           + chunk(b"tRNS", bytes([0, 128, 255]))
+           + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b""))
+    out = P.decode_png(buf)
+    pl = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    np.testing.assert_array_equal(out[..., :3], pl[idx])
+    np.testing.assert_array_equal(out[..., 3], np.array([0, 128, 255], np.uint8)[idx])
+
+
+def test_png_ingest_warp_tile_matches_raw_path(ray_session):
+    """End-to-end compressed ingest: the SAME images stored as png must warp
+    and tile to bit-identical tiles as the raw-RGBA path (decode→warp→tile
+    over Ray, the reference's arbitrary-image ingest, projcl_warp.c:68-107)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops
+    from projcl_ray.images import decode_image, synth_images_table
+    from projcl_ray.proj import ProjParams
+
+    tbl = synth_images_table(12, seed=42)
+    from projcl_ray import png as P
+
+    rows = tbl.to_pylist()
+    png_rows = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        r2 = dict(r)
+        r2["bytes"] = P.encode_png(img, filter_type=4)
+        r2["fmt"] = "png"
+        png_rows.append(r2)
+    params = ProjParams(spheroid="WGS_84")
+    raw_tiles = ops.warp_and_tile(rd.from_arrow(tbl), "mercator", params,
+                                  tile_size=32, batch_size=4).to_pandas()
+    png_tiles = ops.warp_and_tile(rd.from_arrow(pa.Table.from_pylist(png_rows)),
+                                  "mercator", params,
+                                  tile_size=32, batch_size=4).to_pandas()
+    key = ["image_id", "tile_idx"]
+    a = raw_tiles.sort_values(key).reset_index(drop=True)
+    b = png_tiles.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
 
 
 def test_decode_multi_channel_raw_variants():
