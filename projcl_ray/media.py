@@ -25,12 +25,75 @@ import ray.data
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "pcm16":
         return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
-    if fmt in ("mp3", "flac", "wav"):
+    if fmt == "wav":
+        return decode_wav(buf)[0]
+    if fmt in ("mp3", "flac"):
         raise NotImplementedError(
-            f"{fmt} decode requires an audio codec library not present in this "
-            "environment; use fmt='pcm16' (raw int16 LE)."
+            f"{fmt} decode requires a DSP codec library not present in this "
+            "environment; use fmt='pcm16' (raw int16 LE) or fmt='wav' "
+            "(in-repo RIFF codec)."
         )
     raise ValueError(f"unknown audio format {fmt!r}")
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM (1-D mono or (n, ch)) → RIFF/WAVE bytes (format 1, 16-bit).
+    Pure stdlib — deterministic output, no codec library."""
+    import struct
+
+    pcm = np.ascontiguousarray(pcm, "<i2")
+    ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (float32 mono samples in [-1, 1], sample_rate). Pure
+    stdlib + numpy (no codec libs): PCM 8/16/24/32-bit (format 1),
+    float32 (format 3), WAVE_FORMAT_EXTENSIBLE unwrapping, odd-length chunk
+    padding; multi-channel input averages to mono (the feature-extraction
+    convention here)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_chunk = data = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        payload = buf[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt_chunk = payload
+        elif tag == b"data":
+            data = payload
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    if fmt_chunk is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    audio_fmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    if audio_fmt == 0xFFFE and len(fmt_chunk) >= 26:  # EXTENSIBLE: real fmt inside
+        (audio_fmt,) = struct.unpack_from("<H", fmt_chunk, 24)
+    if audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 1 and bits == 24:
+        b3 = np.frombuffer(data, np.uint8)[: (len(data) // 3) * 3].reshape(-1, 3)
+        v = (b3[:, 0].astype(np.int32) | (b3[:, 1].astype(np.int32) << 8)
+             | (b3[:, 2].astype(np.int32) << 16))
+        x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float32) / 8388608.0
+    else:
+        raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1).astype(np.float32)
+    return x, int(sr)
 
 
 def decode_video_frames(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:

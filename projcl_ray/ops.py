@@ -1739,41 +1739,65 @@ def asof_join(
     vectorized ``pandas.merge_asof`` — the classic feature-join for
     training-data pipelines (attach the most recent profile/stats row to
     every event) without ever materializing either table globally.
-    Right-side non-key columns are suffixed; right numeric columns arrive as
-    float64 (null-tolerant across parts). Ties in right ``on`` within a key
-    are the caller's to break (pre-aggregate right to unique (by, on)).
-    Pass ``n_parts`` explicitly when the inputs are computed pipelines — the
-    adaptive default calls ``count()``, which executes them an extra time."""
+    Right-side non-key columns are suffixed and keep their EXACT dtypes
+    (ints stay int64, strings stay strings): schema harmonization uses typed
+    FILLERS instead of nulls (so pandas never upcasts), and the asof match
+    gathers right rows by local row index rather than merging value columns
+    through float64. Ties in right ``on`` within a key are the caller's to
+    break (pre-aggregate right to unique (by, on)).
+
+    ``n_parts=None`` materializes both inputs once (object store, spillable)
+    so the adaptive sizing's count() is metadata-free and the shuffle reads
+    the materialized blocks instead of re-executing computed pipelines; pass
+    ``n_parts`` explicitly to keep fully streaming ingest."""
     import pandas as pd
 
     if n_parts is None:
+        left = left.materialize()
+        right = right.materialize()
         n_parts = _adaptive_parts(left.count() + right.count())
 
-    l_schema = left.schema()
-    r_schema = right.schema()
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
     l_cols = list(l_schema.names)
     r_val_cols = [c for c in r_schema.names if c not in (on, by)]
     r_out = {c: c + right_suffix if c in l_cols else c for c in r_val_cols}
     on_ref = on + right_suffix  # right's own timestamp, kept as a value col
 
+    def _filler(typ: pa.DataType, n: int) -> pa.Array:
+        """Typed filler column (NOT nulls — nulls make pandas upcast int64
+        to float64 inside groups; filler rows are dropped before the merge,
+        so their values never surface)."""
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            val: object = 0
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            val = ""
+        elif pa.types.is_boolean(typ):
+            val = False
+        elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            val = b""
+        else:  # exotic types (lists/timestamps): nulls, caller beware
+            return pa.nulls(n, typ)
+        return pa.array([val] * n, typ)
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         batch = batch.append_column("asof_role", pa.array(np.zeros(n, np.int8)))
         for c in r_val_cols:
-            batch = batch.append_column(r_out[c], pa.array([None] * n, pa.float64()))
-        batch = batch.append_column(on_ref, pa.array([None] * n, l_schema.base_schema.field(on).type))
+            batch = batch.append_column(r_out[c], _filler(r_schema.field(c).type, n))
+        batch = batch.append_column(on_ref, _filler(r_schema.field(on).type, n))
         return batch.select(sorted(batch.column_names))
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         out = {by: batch[by], on: batch[on], on_ref: batch[on]}
         for c in r_val_cols:
-            out[r_out[c]] = pa.compute.cast(batch[c], pa.float64())
+            out[r_out[c]] = batch[c]
         t = pa.table(out)
         t = t.append_column("asof_role", pa.array(np.ones(n, np.int8)))
         for c in l_cols:
             if c not in t.column_names:
-                t = t.append_column(c, pa.array([None] * n, l_schema.base_schema.field(c).type))
+                t = t.append_column(c, _filler(l_schema.field(c).type, n))
         return t.select(sorted(t.column_names))
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -1787,26 +1811,27 @@ def asof_join(
     )
 
     out_cols = l_cols + [on_ref] + [r_out[c] for c in r_val_cols]
-    # the union's null-tagged rows upcast left ints to float64 in pandas
-    # groups; restore the declared dtypes on the (null-free) join output
-    l_int_cols = [c for c in l_cols
-                  if pa.types.is_integer(l_schema.base_schema.field(c).type)]
-
-    def _fix_types(df: "pd.DataFrame") -> "pd.DataFrame":
-        for c in l_int_cols:
-            df[c] = df[c].astype(np.int64)
-        return df
+    r_gather_cols = [on_ref] + [r_out[c] for c in r_val_cols]
 
     def join_part(group: "pd.DataFrame") -> "pd.DataFrame":
         lf = group[group["asof_role"] == 0]
         rf = group[group["asof_role"] == 1]
         if not len(lf) or not len(rf):
-            return _fix_types(lf.iloc[0:0][out_cols].copy())
+            return lf.iloc[0:0][out_cols].copy()
         lf = lf[l_cols].sort_values(on, kind="stable")
-        rf = rf[[by, on, on_ref] + [r_out[c] for c in r_val_cols]].sort_values(on, kind="stable")
-        m = pd.merge_asof(lf, rf, on=on, by=by, direction="backward")
-        m = m[m[on_ref].notna()]  # inner: keep only matched rows
-        return _fix_types(m[out_cols].copy())
+        rf = rf.sort_values(on, kind="stable").reset_index(drop=True)
+        # match by LOCAL ROW INDEX, then gather right columns dtype-exactly:
+        # only the index rides through merge_asof's NaN-capable float path
+        # (row indices are < 2^53, so the float round-trip is exact)
+        ridx = rf[[by, on]].assign(__ridx=np.arange(len(rf), dtype=np.int64))
+        m = pd.merge_asof(lf, ridx, on=on, by=by, direction="backward")
+        hit = m["__ridx"].notna().to_numpy()
+        m = m[hit]
+        take = m["__ridx"].to_numpy(np.float64).astype(np.int64)
+        m = m.drop(columns=["__ridx"])
+        for c in r_gather_cols:
+            m[c] = rf[c].to_numpy()[take]
+        return m[out_cols]
 
     return both.groupby("asof_part").map_groups(join_part, batch_format="pandas")
 

@@ -1476,6 +1476,23 @@ def q_audio(sf_dir: str):
     return audio_features(rd.from_arrow(synth_audio_table(32)))
 
 
+@q("media_wav_features")  # real RIFF/WAVE ingest (in-repo codec) — rows-only
+def q_wav(sf_dir: str):
+    """Audio features over REAL WAV containers: the synthetic pcm16 clips are
+    wrapped in RIFF/WAVE (media.encode_wav) and decoded by the in-repo pure-
+    Python codec (media.decode_wav) — the audio analogue of the png path."""
+    import pyarrow as pa
+
+    from .media import audio_features, encode_wav, synth_audio_table
+
+    rows = synth_audio_table(32).to_pylist()
+    for r in rows:
+        pcm = np.frombuffer(r["bytes"], "<i2")
+        r["bytes"] = encode_wav(pcm, r["sample_rate"])
+        r["fmt"] = "wav"
+    return audio_features(rd.from_arrow(pa.Table.from_pylist(rows)))
+
+
 @q("media_video_frame_sample")  # rows-only
 def q_video(sf_dir: str):
     from .media import sample_video_frames, synth_video_table
@@ -1939,3 +1956,42 @@ def q_warp_projected_source(sf_dir: str):
                      "w": 64, "h": 64, "fmt": "raw",
                      "coverage": float((out[..., 3] > 0).mean())})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Driver-sampling rotation: the correctness driver gates the FIRST 50 queries
+# only. Round 2 sampled the 50 below, leaving the rest on local-gate evidence
+# only — so rotate: everything the round-2 driver did NOT sample (plus all
+# round-3 additions) comes first, the round-2-sampled 50 fill the tail. Every
+# query keeps its oracle; only dict insertion order changes.
+# ---------------------------------------------------------------------------
+
+_SAMPLED_R02 = [
+    "project_mercator_sphere_fwd", "project_mercator_ell_fwd",
+    "project_tmerc_sphere_fwd", "project_lcc_sphere_fwd",
+    "project_albers_sphere_fwd", "project_laea_sphere_fwd",
+    "project_winkel_fwd", "project_polyconic_sphere_fwd",
+    "project_stereographic_fwd", "project_robinson_fwd",
+    "project_tmerc_sphere_roundtrip", "project_mercator_ell_roundtrip",
+    "project_lcc_ell_roundtrip", "project_albers_ell_roundtrip",
+    "project_laea_ell_roundtrip", "project_polyconic_ell_roundtrip",
+    "project_winkel_roundtrip", "project_robinson_roundtrip",
+    "project_stereographic_roundtrip", "datum_shift_wgs84_nad27",
+    "geodesic_haversine_pairs", "geodesic_distance_matrix",
+    "forward_geodesic_sphere", "forward_geodesic_vincenty",
+    "vincenty_inverse_matrix", "cell_assign_counts", "salted_cell_counts",
+    "pip_join_boxes", "geofence_customers_near_suppliers",
+    "rasterize_density_tiles", "polygon_area_nation_boxes",
+    "knn_customers_suppliers", "knn_join_large_customers_suppliers",
+    "dedup_exact", "text_token_count", "text_token_count_bpe",
+    "text_quality_scores", "text_langid", "text_fingerprint",
+    "dedup_simhash", "dedup_simhash_neardups", "dedup_minhash_lsh",
+    "dedup_verified_neardups", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_cosine_neardup", "agg_lineitem_pricing", "join_orders_per_nation",
+    "sort_top_orders", "topk_orders_per_priority",
+]
+
+_rotated = {k: QUERIES[k] for k in QUERIES if k not in _SAMPLED_R02}
+_rotated.update({k: QUERIES[k] for k in _SAMPLED_R02 if k in QUERIES})
+QUERIES.clear()
+QUERIES.update(_rotated)

@@ -152,3 +152,61 @@ def test_salting_on_skewed_cells(ray_session):
             assert n == 1
     # salted keys partition the original key space: cell recoverable
     assert (salted["salted_key"] // 8 == salted["cell_id"]).all()
+
+
+def test_wav_codec_roundtrip_and_variants():
+    """In-repo RIFF/WAVE codec: pcm16 round-trip must be sample-exact; 24-bit,
+    float32, unsigned-8-bit and stereo-to-mono variants decode correctly; odd
+    chunk lengths pad per spec; garbage rejected."""
+    import struct
+
+    import pytest
+
+    from projcl_ray.media import decode_audio, decode_wav, encode_wav
+
+    rng = np.random.default_rng(2)
+    pcm = rng.integers(-32768, 32768, 1000, dtype=np.int16)
+    x, sr = decode_wav(encode_wav(pcm, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(x, pcm.astype(np.float32) / 32768.0)
+    # decode_audio fmt="wav" must equal the pcm16 path on the same samples
+    np.testing.assert_array_equal(
+        decode_audio(encode_wav(pcm, 16000), "wav"),
+        decode_audio(pcm.astype("<i2").tobytes(), "pcm16"),
+    )
+    # stereo averages to mono
+    st = np.stack([pcm, -pcm], axis=1)
+    xm, _ = decode_wav(encode_wav(st, 8000))
+    np.testing.assert_allclose(xm, (pcm.astype(np.float32) - pcm) / 2 / 32768.0, atol=1e-7)
+
+    def wav(fmt_code, bits, data, ch=1, sr=8000, extensible=False):
+        if extensible:
+            # cbSize=22, validBits, channelMask(4B), then the SubFormat GUID
+            # whose first 2 bytes are the real format code (spec layout)
+            fmt = (struct.pack("<HHIIHH", 0xFFFE, ch, sr, 0, 0, bits)
+                   + struct.pack("<HHI", 22, bits, 0)
+                   + struct.pack("<H", fmt_code) + b"\x00" * 14)
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_code, ch, sr, 0, 0, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt) + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # odd chunk pads
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    f32 = rng.uniform(-1, 1, 64).astype("<f4")
+    x, _ = decode_wav(wav(3, 32, f32.tobytes()))
+    np.testing.assert_array_equal(x, f32)
+    u8 = rng.integers(0, 256, 64, dtype=np.uint8)
+    x, _ = decode_wav(wav(1, 8, u8.tobytes()))
+    np.testing.assert_array_equal(x, (u8.astype(np.float32) - 128.0) / 128.0)
+    v24 = rng.integers(-(1 << 23), 1 << 23, 64, dtype=np.int32)
+    b3 = np.zeros((64, 3), np.uint8)
+    u = np.where(v24 < 0, v24 + (1 << 24), v24)
+    b3[:, 0], b3[:, 1], b3[:, 2] = u & 255, (u >> 8) & 255, (u >> 16) & 255
+    x, _ = decode_wav(wav(1, 24, b3.tobytes()))
+    np.testing.assert_array_equal(x, v24.astype(np.float32) / 8388608.0)
+    # WAVE_FORMAT_EXTENSIBLE wrapper unwraps to PCM16
+    x, _ = decode_wav(wav(1, 16, pcm.tobytes(), extensible=True))
+    np.testing.assert_array_equal(x, pcm.astype(np.float32) / 32768.0)
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")

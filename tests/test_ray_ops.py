@@ -421,6 +421,32 @@ def test_asof_join_matches_pandas(ray_session, sf_dir):
     np.testing.assert_allclose(g["cv"].to_numpy(), e["cv"].to_numpy())
 
 
+def test_asof_join_preserves_right_dtypes(ray_session):
+    """Right value columns must keep their EXACT dtypes through the join:
+    int64 beyond 2^53 (would corrupt through a float64 cast) and string
+    features (previously rejected by the float64 union trick)."""
+    import ray.data as rd
+
+    big = (1 << 60) + 12345  # not representable in float64
+    left = rd.from_items([
+        {"user_id": 1, "ts": 10.0, "eid": 1},
+        {"user_id": 1, "ts": 30.0, "eid": 2},
+        {"user_id": 2, "ts": 5.0, "eid": 3},   # no earlier right row → drops
+    ])
+    right = rd.from_items([
+        {"user_id": 1, "ts": 8.0, "big_feature": big, "tag": "alpha"},
+        {"user_id": 1, "ts": 20.0, "big_feature": big + 1, "tag": "beta"},
+        {"user_id": 2, "ts": 9.0, "big_feature": 7, "tag": "gamma"},
+    ])
+    out = ops.asof_join(left, right, on="ts", by="user_id", n_parts=4).to_pandas()
+    out = out.sort_values("eid").reset_index(drop=True)
+    assert out["eid"].tolist() == [1, 2]
+    assert out["big_feature"].dtype == np.int64
+    assert out["big_feature"].tolist() == [big, big + 1]  # bit-exact int64
+    assert out["tag"].tolist() == ["alpha", "beta"]
+    assert out["ts_ref"].tolist() == [8.0, 20.0]
+
+
 def test_range_join_boundaries(ray_session):
     """[lo, hi) boundary semantics: lo included, hi excluded, gaps dropped,
     overlapping intervals rejected."""
