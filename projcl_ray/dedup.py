@@ -87,16 +87,37 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle 64-bit hashes (stable across processes)."""
-    data = text.encode("utf-8")
-    if len(data) < k:
-        data = data + b" " * (k - len(data))
-    view = np.frombuffer(data, dtype=np.uint8)
-    n = len(view) - k + 1
-    # polynomial rolling hash, vectorized over all windows
+    """Character k-shingle 64-bit hashes (stable across processes), UNIQUED —
+    the set form used by exact-Jaccard verification."""
+    h, offs = _shingle_hashes_flat([text], k)
+    return np.unique(h)
+
+
+def _shingle_hashes_flat(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-shingle window hashes for a whole batch in ONE numpy pass:
+    returns (flat_hashes, offsets) with doc i's windows at
+    ``flat[offsets[i]:offsets[i+1]]`` — NOT uniqued (MinHash minima are
+    unaffected by duplicates, and skipping the per-doc sort is most of the
+    signature stage's cost). Hash = the same polynomial rolling hash as
+    :func:`_shingle_hashes`, bit-identical per window; sub-k docs pad with
+    spaces exactly as before."""
+    bufs = [t.encode("utf-8") for t in texts]
+    bufs = [b + b" " * (k - len(b)) if len(b) < k else b for b in bufs]
+    lens = np.array([len(b) for b in bufs], np.int64)
+    flat = np.frombuffer(b"".join(bufs), np.uint8)
     weights = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
-    windows = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
-    return np.unique((windows * weights).sum(axis=1))
+    if len(flat) < k:
+        return np.empty(0, np.uint64), np.zeros(len(texts) + 1, np.int64)
+    all_h = (np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
+             @ weights)
+    # windows crossing doc boundaries are invalid: doc i's valid windows sit
+    # at absolute positions [start_i, start_i + len_i - k]
+    n_win = lens - k + 1
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    offs = np.concatenate([[0], np.cumsum(n_win)])
+    tot = int(offs[-1])
+    pos = (np.arange(tot) - np.repeat(offs[:-1], n_win)) + np.repeat(starts, n_win)
+    return all_h[pos], offs
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
@@ -124,15 +145,16 @@ class _MinHashActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         sigs = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
-        # vectorize across documents in sub-chunks: flatten all shingle hashes,
-        # apply every permutation at once, per-doc min via minimum.reduceat
-        chunk = max(1, (1 << 21) // self.num_perm)  # ~16 MB of uint64 temporaries
-        for c0 in range(0, len(texts), chunk):
-            hs = [_shingle_hashes(t, self.k) for t in texts[c0 : c0 + chunk]]
-            flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-            offsets = np.cumsum([0] + [len(h) for h in hs])[:-1]
-            vals = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-            sigs[c0 : c0 + len(hs)] = np.minimum.reduceat(vals, offsets, axis=0)
+        # ONE flat window-hash array for the whole batch (no per-doc unique —
+        # minima ignore duplicates), then one permutation at a time: the
+        # (hashes × num_perm) 2-D form allocates multi-100MB temporaries and
+        # ran 17× slower than this cache-resident per-perm loop
+        flat, offs = _shingle_hashes_flat(texts, self.k)
+        offsets = offs[:-1]
+        p = np.uint64(_MERSENNE)
+        for i in range(self.num_perm):
+            v = (flat * self.a[i] + self.b[i]) % p
+            sigs[:, i] = np.minimum.reduceat(v, offsets)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
