@@ -6,12 +6,11 @@ caption: string, phash: int64)`` plus our georeferencing sidecar columns
 ``(lon0: float64, lat0: float64, px_deg: float64, src_datum: string)``
 (FIXTURES.md §1) needed to warp/tile.
 
-Codec policy: ``fmt="raw"`` (uncompressed RGBA bytes, h·w·4 uint8, C-order)
-and ``fmt="png"`` are both first-class: PNG runs on the in-repo pure-Python
-codec (:mod:`projcl_ray.png`, stdlib zlib + numpy — no PIL/cv2 needed), so
-the whole decode→warp→encode pipeline is real for compressed images too.
-JPEG decode requires a DCT codec library (PIL/cv2 hook, env-stubbed here);
-its Ray-side plumbing (schema, actor signature, batch layout) is identical.
+Codec policy: ``fmt="raw"`` (uncompressed RGBA bytes, h·w·4 uint8, C-order),
+``fmt="png"`` and ``fmt="jpeg"`` are all first-class via in-repo pure-Python
+codecs (:mod:`projcl_ray.png`: zlib+numpy, lossless; :mod:`projcl_ray.jpeg`:
+baseline JFIF, vectorized DCT) — no PIL/cv2 needed anywhere, so the whole
+decode→warp→encode pipeline is real for compressed images too.
 """
 
 from __future__ import annotations
@@ -20,30 +19,6 @@ import numpy as np
 import pyarrow as pa
 
 CHANNELS = 4  # RGBA, matching the reference's float4 pixel model
-
-
-def _codec_module():
-    """Optional real-codec hook: PIL if importable, else cv2, else None.
-    Probed once per process (worker-state pattern); the raw path never
-    depends on it."""
-    global _CODEC
-    try:
-        return _CODEC
-    except NameError:
-        pass
-    _CODEC = None
-    try:
-        from PIL import Image  # noqa: F401
-
-        _CODEC = "pil"
-    except ImportError:
-        try:
-            import cv2  # noqa: F401
-
-            _CODEC = "cv2"
-        except ImportError:
-            pass
-    return _CODEC
 
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -70,42 +45,27 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         return _png.decode_png(buf)
     if fmt == "jpeg":
-        codec = _codec_module()
-        if codec == "pil":
-            import io
+        from . import jpeg as _jpeg
 
-            from PIL import Image
-
-            arr = np.asarray(Image.open(io.BytesIO(buf)).convert("RGBA"))
-            return np.ascontiguousarray(arr)
-        if codec == "cv2":
-            import cv2
-
-            bgr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
-            if bgr.ndim == 2:
-                bgr = cv2.cvtColor(bgr, cv2.COLOR_GRAY2BGRA)
-            elif bgr.shape[2] == 3:
-                bgr = cv2.cvtColor(bgr, cv2.COLOR_BGR2BGRA)
-            rgba = bgr[..., [2, 1, 0, 3]]
-            return np.ascontiguousarray(rgba)
-        raise NotImplementedError(
-            f"{fmt} decode requires an image codec library (PIL/cv2), none "
-            "present in this environment; use fmt='raw' (uncompressed RGBA). "
-            "The pipeline plumbing is format-agnostic."
-        )
+        return _jpeg.decode_jpeg(buf)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
 def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
-    """(h, w, 4) uint8 → bytes. ``raw`` and ``png`` always available (png via
-    the in-repo pure-Python codec; pass ``filter_type=4`` for ~2× smaller
-    files at the cost of a slower per-pixel decode path)."""
+    """(h, w, 4) uint8 → bytes. ``raw``, ``png`` and ``jpeg`` always
+    available via the in-repo pure-Python codecs (png: pass
+    ``filter_type=4`` for ~2× smaller files; jpeg: ``quality=``,
+    ``subsample=`` — lossy, alpha dropped)."""
     if fmt == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
     if fmt == "png":
         from . import png as _png
 
         return _png.encode_png(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
+    if fmt == "jpeg":
+        from . import jpeg as _jpeg
+
+        return _jpeg.encode_jpeg(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
     raise NotImplementedError(f"{fmt} encode not available in this environment")
 
 

@@ -302,3 +302,72 @@ def test_decode_multi_channel_raw_variants():
     for c in range(3):
         np.testing.assert_array_equal(gray[..., c], lum)
     assert (gray[..., 3] == 255).all()
+
+
+def test_jpeg_codec_roundtrip_and_modes():
+    """fmt="jpeg" is first-class via the in-repo baseline JFIF codec (ITU
+    T.81, no PIL/cv2): smooth content round-trips at high PSNR, constant
+    images exactly; 4:2:0 output matches a DCT-free chroma-subsampling
+    simulation (the loss is the subsampling, not the codec); gray/RGB/RGBA
+    inputs and odd sizes all decode to the declared shape; higher quality
+    gives monotonically larger files; junk is rejected."""
+    import pytest
+
+    from projcl_ray import jpeg as J
+    from projcl_ray.images import decode_image, encode_image, synth_pixels
+
+    def psnr(a, b):
+        mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.dstack([(xx * 4).astype(np.uint8), (yy * 4).astype(np.uint8),
+                        ((xx + yy) * 2).astype(np.uint8),
+                        np.full((64, 64), 255, np.uint8)])
+    back = decode_image(encode_image(smooth, "jpeg", quality=95), 64, 64, "jpeg")
+    assert psnr(smooth[..., :3], back[..., :3]) > 45.0
+    const = np.full((6, 10, 4), 200, np.uint8)
+    for sub in (False, True):
+        back = J.decode_jpeg(J.encode_jpeg(const, quality=90, subsample=sub))
+        np.testing.assert_array_equal(back[..., :3], const[..., :3])
+
+    # 4:2:0 equals pure chroma subsampling to within DCT quantization
+    sp = synth_pixels(9, 21, 37)
+    y, cb, cr = J._to_ycbcr(sp)
+    h, w = 37, 21
+
+    def ds_us(p):
+        H, W = -(-h // 2) * 2, -(-w // 2) * 2
+        q = np.empty((H, W))
+        q[:h, :w] = p
+        q[h:, :w] = p[h - 1 : h, :]
+        q[:h, w:] = q[:h, w - 1 : w]
+        q[h:, w:] = q[h - 1, w - 1]
+        d = q.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)[:h, :w]
+
+    cbu, cru = ds_us(cb) - 128, ds_us(cr) - 128
+    sim = np.clip(np.round(np.dstack([
+        y + 1.402 * cru,
+        y - 0.344136 * cbu - 0.714136 * cru,
+        y + 1.772 * cbu,
+    ])), 0, 255)
+    got = J.decode_jpeg(J.encode_jpeg(sp, quality=92, subsample=True))
+    assert psnr(sim, got[..., :3]) > 30.0
+
+    # shape sweep: gray / RGB / RGBA, odd sizes, both modes
+    rng = np.random.default_rng(4)
+    for trial in range(12):
+        hh, ww = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = synth_pixels(trial, ww, hh)
+        src = [img, img[..., :3].copy(), img[..., 0].copy()][trial % 3]
+        for sub in (False, True):
+            out = J.decode_jpeg(J.encode_jpeg(src, quality=92, subsample=sub))
+            assert out.shape == (hh, ww, 4)
+            assert (out[..., 3] == 255).all()
+
+    sizes = [len(J.encode_jpeg(sp, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+    assert J.encode_jpeg(sp) == J.encode_jpeg(sp)  # deterministic
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"definitely not a jpeg")
