@@ -133,3 +133,41 @@ def test_polygon_area_centroid_known_shapes():
     # concave L-shape: area = 3 (2x2 square minus 1x1 notch)
     ell = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
     assert abs(polygon_area(ell) - 3.0) < 1e-12
+
+
+def test_ball_candidates_exclusion_property():
+    """The pole-safe candidate generator's contract, tested by brute force:
+    every point of every NON-candidate cell must be ≥ ring·res·LAT_DEG_M
+    away (haversine) from every point of the query cell — the bound the kNN
+    termination test and the geofence pruning rely on. Random cells/rings,
+    random points sampled inside excluded cells, poles included."""
+    import numpy as np
+
+    from projcl_ray import index as I
+    from projcl_ray.geodesic import haversine_matrix
+
+    rng = np.random.default_rng(7)
+    res = 5.0
+    nx, ny = I.nx(res), I.ny(res)
+    for _ in range(60):
+        qcell = int(rng.integers(0, nx * ny))
+        ring = int(rng.integers(1, 8))
+        cand = set(I.ball_candidates(qcell, ring, res).tolist())
+        bound = ring * res * I.LAT_DEG_M
+        lo, la, hi, lb = I.cell_bounds(np.array([qcell]), res)
+        qlon = rng.uniform(lo, hi, 6)
+        qlat = rng.uniform(la, lb, 6)
+        for _ in range(25):
+            oc = int(rng.integers(0, nx * ny))
+            if oc in cand:
+                continue
+            olo, ola, ohi, olb = I.cell_bounds(np.array([oc]), res)
+            d = haversine_matrix(qlon, qlat,
+                                 rng.uniform(olo, ohi, 6), rng.uniform(ola, olb, 6))
+            assert d.min() >= bound - 1e-6, (qcell, ring, oc, d.min(), bound)
+
+    # duplicate-free and complete at max ring
+    c = I.ball_candidates(int(I.cell_id(np.array([0.0]), np.array([89.9]), res)[0]), 3, res)
+    assert len(c) == len(np.unique(c))
+    allc = I.ball_candidates(5, int(180.0 / res) + 1, res)
+    assert len(np.unique(allc)) == nx * ny
