@@ -1804,10 +1804,9 @@ def asof_join(
         part = (hash_key_u64(np.asarray(batch[by])) * np.uint64(2654435761)) % np.uint64(n_parts)
         return batch.append_column("asof_part", pa.array(part.astype(np.int64)))
 
-    both = (
-        left.map_batches(tag_left, batch_format="pyarrow")
-        .union(right.map_batches(tag_right, batch_format="pyarrow"))
-        .map_batches(add_part, batch_format="pyarrow")
+    # tag and partition fused into one pass per side (one fewer map stage)
+    both = left.map_batches(lambda b: add_part(tag_left(b)), batch_format="pyarrow").union(
+        right.map_batches(lambda b: add_part(tag_right(b)), batch_format="pyarrow")
     )
 
     out_cols = l_cols + [on_ref] + [r_out[c] for c in r_val_cols]
