@@ -108,8 +108,15 @@ def _shingle_hashes_flat(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.n
     weights = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
     if len(flat) < k:
         return np.empty(0, np.uint64), np.zeros(len(texts) + 1, np.int64)
-    all_h = (np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
-             @ weights)
+    # polynomial hash as k shifted multiply-accumulates: bit-identical
+    # (mod 2^64 wrap either way) to the windowed matmul it replaces, but
+    # peak temporaries are O(n) uint64 instead of the (n, k) uint64 window
+    # matrix (~8k bytes per input byte) that spiked worker memory on
+    # large-document batches
+    m = len(flat) - k + 1
+    all_h = flat[:m].astype(np.uint64) * weights[0]
+    for j in range(1, k):
+        all_h += flat[j:j + m].astype(np.uint64) * weights[j]
     # windows crossing doc boundaries are invalid: doc i's valid windows sit
     # at absolute positions [start_i, start_i + len_i - k]
     n_win = lens - k + 1
@@ -497,6 +504,7 @@ def dup_components(
         m = ef[["src", "val"]].merge(lf, on="src", suffixes=("_dst", "_lbl"))
         return pd.DataFrame({"node": m["val_dst"], "lbl": m["val_lbl"]})
 
+    changed = -1
     for _ in range(max_rounds):
         all_edges = edges.union(labels.map_batches(ptr_edges, batch_format="pyarrow"))
         msgs = (
@@ -529,11 +537,17 @@ def dup_components(
         labels = agg.drop_columns(["old"])
         if changed == 0:
             break
+    if changed != 0:
+        # with pointer jumping this needs > max_rounds only for graphs of
+        # diameter ~2^max_rounds — but if it ever happens, the labels are NOT
+        # components yet and returning them would be silent data corruption
+        raise RuntimeError(
+            f"dup_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
 
     # --- relabel the full id column: bounded co-partition LEFT join --------
     other_cols = [c for c in ids_schema.names if c != id_col]
-    int_cols = [c for c in ids_schema.names
-                if pa.types.is_integer(ids_schema.field(c).type)]
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("cc_lbl", pa.nulls(batch.num_rows, node_type))
@@ -554,14 +568,19 @@ def dup_components(
         lbf = group[group["cc_role"] == 1][[id_col, "cc_lbl"]]
         m = idf.merge(lbf, on=id_col, how="left")
         m["component_id"] = m["cc_lbl"].where(m["cc_lbl"].notna(), m[id_col])
-        m = m[out_cols]
-        # the union's null-filled rows upcast int columns to float in pandas
-        # groups; restore the declared dtypes (join output is null-free)
-        for c in int_cols:
-            m[c] = m[c].astype(np.int64)
-        if pa.types.is_integer(id_type):
-            m["component_id"] = m["component_id"].astype(np.int64)
-        return m
+        return m[out_cols]
+
+    # the union's null-filled label rows upcast passthrough columns inside
+    # pandas groups (int → float, bool/timestamp → object); restore EVERY
+    # column to its declared Arrow type (join output is null-free), so the
+    # output schema is exactly the input schema + component_id:id_type
+    out_schema = pa.schema(
+        [ids_schema.field(c) for c in ids_schema.names]
+        + [pa.field("component_id", id_type)]
+    )
+
+    def restore_schema(batch: pa.Table) -> pa.Table:
+        return batch.select(out_schema.names).cast(out_schema)
 
     return (
         ids_ds.map_batches(tag_ids, batch_format="pyarrow")
@@ -569,6 +588,7 @@ def dup_components(
         .map_batches(_part_on(id_col), batch_format="pyarrow")
         .groupby("part")
         .map_groups(relabel_group, batch_format="pandas")
+        .map_batches(restore_schema, batch_format="pyarrow")
     )
 
 

@@ -692,9 +692,13 @@ def stratified_sample(
         import pyarrow.compute as pc
 
         enc = pc.dictionary_encode(batch[strata_col].combine_chunks())
-        lut = np.array([thr.get(s, thr_default) for s in enc.dictionary.to_pylist()],
-                       np.uint64)
-        limit = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        # null strata take thr_default: append a sentinel LUT slot and route
+        # null dictionary indices (which round-trip as float NaN otherwise)
+        # to it before the gather
+        lut = np.array([thr.get(s, thr_default) for s in enc.dictionary.to_pylist()]
+                       + [thr_default], np.uint64)
+        idx = pc.fill_null(enc.indices, len(lut) - 1).to_numpy(zero_copy_only=False)
+        limit = lut[idx.astype(np.int64)]
         return batch.filter(pa.array(h < limit))
 
     return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)

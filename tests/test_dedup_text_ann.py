@@ -334,3 +334,39 @@ def test_dup_components_long_chain_distributed(ray_session):
     s_map = dict(zip(s_out["doc_id"], s_out["component_id"]))
     assert s_map["d001"] == s_map["d003"] == s_map["d004"] == "d001"
     assert s_map["d000"] == "d000" and s_map["d005"] == "d005"
+
+
+def test_dup_components_preserves_passthrough_schema(ray_session):
+    """Output schema must equal input schema + component_id:<id_type>: an
+    int32 id must NOT widen to int64, and bool/timestamp passthrough columns
+    must survive the union's null-filled label rows without upcasting to
+    object/float (round-3 ADVICE)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        "flag": pa.array([True, False, True, False, True]),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(5)],
+                       pa.timestamp("us")),
+        "score": pa.array([0.5, 1.5, 2.5, 3.5, 4.5], pa.float32()),
+    })
+    ids = rd.from_arrow(t)
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 3], pa.int32()),
+        "id_b": pa.array([4, 1], pa.int32()),
+    }))
+    out = dedup.dup_components(ids, pairs, id_col="doc_id", n_parts=4)
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    ).combine_chunks()
+    got = {f.name: f.type for f in tbl.schema}
+    assert got["doc_id"] == pa.int32()
+    assert got["component_id"] == pa.int32()
+    assert got["flag"] == pa.bool_()
+    assert got["ts"] == pa.timestamp("us")
+    assert got["score"] == pa.float32()
+    df = tbl.to_pandas().sort_values("doc_id")
+    assert list(df["component_id"]) == [0, 1, 2, 1, 1]
+    assert list(df["flag"]) == [True, False, True, False, True]
+    assert list(df["score"]) == [0.5, 1.5, 2.5, 3.5, 4.5]

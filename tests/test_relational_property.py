@@ -79,6 +79,31 @@ def test_stratified_sample_property(seed, frac):
     assert got_keys == set(exp["k"])
 
 
+def test_stratified_sample_null_strata():
+    """Null strata must take the default fraction, not raise (round-3
+    ADVICE: null dictionary indices came back as float NaN and broke the
+    LUT gather)."""
+    import ray.data as rd
+
+    n = 400
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 40, n)
+    strata = [None if i % 3 == 0 else ("a" if i % 2 else "b") for i in range(n)]
+    df = pd.DataFrame({"k": keys, "s": pd.array(strata, dtype="string")})
+    # default=1.0: every null-stratum row must survive
+    got = ops.stratified_sample(
+        rd.from_pandas(df), "k", "s", {"a": 0.0, "b": 0.0}, default=1.0, seed=3
+    ).to_pandas()
+    exp_nulls = {int(k) for k, s in zip(keys, strata) if s is None}
+    assert set(got["k"].astype(np.int64)) == exp_nulls
+    # default=0.0: null-stratum rows must all drop
+    got0 = ops.stratified_sample(
+        rd.from_pandas(df), "k", "s", {"a": 1.0, "b": 1.0}, default=0.0, seed=3
+    ).to_pandas()
+    exp_named = {int(k) for k, s in zip(keys, strata) if s is not None}
+    assert set(got0["k"].astype(np.int64)) == exp_named
+
+
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(0, 10_000))
 def test_group_quantiles_property(seed):
