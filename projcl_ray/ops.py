@@ -842,11 +842,17 @@ def knn_join_large(
         return explode
 
     def cell_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        # output rows carry the QUERY's coordinates so the per-query merge
+        # can emit re-probe markers with coords attached — the round loop
+        # never has to rejoin pending ids against q_slim (or worse, collect
+        # them on the driver)
         empty = pd.DataFrame(
             {
                 query_id_col: pd.Series([], dtype=qid_np),
                 target_id_col: pd.Series([], dtype=tid_np),
                 "dist": pd.Series([], dtype=np.float64),
+                lon_col: pd.Series([], dtype=np.float64),
+                lat_col: pd.Series([], dtype=np.float64),
             }
         )
         tmask = group[target_id_col].notna()
@@ -864,6 +870,8 @@ def knn_join_large(
                     query_id_col: home[query_id_col].to_numpy().astype(qid_np),
                     target_id_col: pd.Series([tid_filler] * len(home), dtype=tid_np),
                     "dist": np.full(len(home), np.inf),
+                    lon_col: home[lon_col].to_numpy(np.float64),
+                    lat_col: home[lat_col].to_numpy(np.float64),
                 }
             )
         tids = tg[target_id_col].to_numpy().astype(tid_np)
@@ -878,6 +886,8 @@ def knn_join_large(
                 query_id_col: np.repeat(qg[query_id_col].to_numpy().astype(qid_np), kk),
                 target_id_col: tids[ci.ravel()],
                 "dist": cd.ravel(),
+                lon_col: np.repeat(qg[lon_col].to_numpy(np.float64), kk),
+                lat_col: np.repeat(qg[lat_col].to_numpy(np.float64), kk),
             }
         )
 
@@ -891,9 +901,12 @@ def knn_join_large(
             done = ring_eff >= max_ring or (
                 len(g) >= k and float(g["dist"].iloc[-1]) <= bound_m
             )
-            if not len(g) and not done:
-                # zero candidates this round: emit a pending marker so the
-                # driver re-probes this query with a wider ring
+            if not done:
+                # ONE re-probe marker row per unfinished query, coords
+                # attached: the next round's probe set is a pure Dataset
+                # filter over this output — no driver-side id collection,
+                # no rejoin against q_slim, and no k-row partial payload
+                # riding the shuffle just to signal "not done"
                 return pd.DataFrame(
                     {
                         query_id_col: pd.Series([group[query_id_col].iloc[0]], dtype=qid_np),
@@ -901,18 +914,21 @@ def knn_join_large(
                         "distance_m": [np.inf],
                         "neighbor_rank": np.array([-1], np.int32),
                         "knn_done": [False],
+                        lon_col: [float(group[lon_col].iloc[0])],
+                        lat_col: [float(group[lat_col].iloc[0])],
                     }
                 )
-            out = pd.DataFrame(
+            return pd.DataFrame(
                 {
                     query_id_col: g[query_id_col].to_numpy().astype(qid_np),
                     target_id_col: g[target_id_col].to_numpy().astype(tid_np),
                     "distance_m": g["dist"].to_numpy(np.float64),
                     "neighbor_rank": np.arange(len(g), dtype=np.int32),
-                    "knn_done": np.full(len(g), done),
+                    "knn_done": np.full(len(g), True),
+                    lon_col: g[lon_col].to_numpy(np.float64),
+                    lat_col: g[lat_col].to_numpy(np.float64),
                 }
             )
-            return out
 
         return merge_q
 
@@ -930,18 +946,20 @@ def knn_join_large(
         ).materialize()
         results.append(
             merged.map_batches(
-                lambda t: t.filter(pc.equal(t["knn_done"], True)).drop_columns(["knn_done"]),
+                lambda t: t.filter(pc.equal(t["knn_done"], True))
+                .drop_columns(["knn_done", lon_col, lat_col]),
                 batch_format="pyarrow",
             )
         )
-        pending_df = merged.map_batches(
-            lambda t: t.filter(pc.equal(t["knn_done"], False)).select([query_id_col]),
+        # pending stays a DATASET end-to-end (ids+coords only, one marker
+        # row per unfinished query); the loop syncs on a scalar count
+        pending = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["knn_done"], False))
+            .select([query_id_col, lon_col, lat_col]),
             batch_format="pyarrow",
-        ).to_pandas()
-        if query_id_col not in pending_df.columns or not len(pending_df):
+        )
+        if pending.count() == 0:
             break  # every query finished
-        pending_ids = np.unique(pending_df[query_id_col].to_numpy())
-        pending = semi_join_keys(q_slim, pending_ids, query_id_col)
         ring = min(max(ring + 1, ring * 2), max_ring)
 
     out = results[0]
