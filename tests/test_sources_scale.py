@@ -106,6 +106,16 @@ def test_extract_json_field(ray_session, sf_dir):
     bad = rd.from_items([{"props": "{not json"}, {"props": '{"k": 7}'}])
     got = extract_json_field(bad, "k").to_pandas()
     assert got["k"].isna().sum() == 1 and got["k"].dropna().iloc[0] == 7
+    # batch-parse hazards: null rows, alignment-shifting fragments ("1,2"
+    # splits into extra array elements when rows join into one JSON doc),
+    # non-dict documents, and the string-typed output path
+    import pandas as pd
+
+    tricky = rd.from_pandas(pd.DataFrame({"props": pd.array(
+        [None, "1,2", '{"k": "x"}', "42", '{"k": 3}'], dtype="string")}))
+    tk = extract_json_field(tricky, "k").to_pandas()["k"]
+    assert list(tk.isna()) == [True, True, False, True, False]
+    assert tk.iloc[2] == "x" and tk.iloc[4] == "3"  # string path: str(v)
 
 
 def test_semi_anti_join_keys(ray_session, sf_dir):
