@@ -1378,6 +1378,38 @@ def q_jpeg_ingest(sf_dir: str):
     return tiles.map_batches(tile_hash, batch_format="pyarrow")
 
 
+@q("jpeg_progressive_ingest_warp_tile")  # lossy pixel op — rows-only
+def q_jpeg_progressive_ingest(sf_dir: str):
+    """Progressive-JPEG ingest: the images table re-encoded as SOF2
+    multi-scan JFIF (spectral selection + successive approximation,
+    projcl_ray/jpeg.py) → decode → warp → tile. Same quality/subsampling as
+    jpeg_ingest_warp_tile, and the progressive decode is coefficient-exact
+    vs baseline, so tests/test_warp.py pins this query's per-tile phashes
+    equal to the baseline-JPEG query's."""
+    from . import jpeg as jpeg_mod
+    from .images import decode_image, phash64, synth_images_table
+
+    rows = synth_images_table(24, seed=42).to_pylist()
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        r["bytes"] = jpeg_mod.encode_jpeg(img, quality=92, subsample=True,
+                                          progressive=True)
+        r["fmt"] = "jpeg"
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8)
+
+    def tile_hash(batch: pa.Table) -> pa.Table:
+        hs = [phash64(decode_image(b, 64, 64, "raw"))
+              for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
+            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
+        })
+
+    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+
+
 @q("flagship_cells")
 def q_flagship(sf_dir: str):
     return flagship(n_images=32, concurrency=2)

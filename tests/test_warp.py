@@ -371,3 +371,50 @@ def test_jpeg_codec_roundtrip_and_modes():
     assert J.encode_jpeg(sp) == J.encode_jpeg(sp)  # deterministic
     with pytest.raises(ValueError):
         J.decode_jpeg(b"definitely not a jpeg")
+
+
+def test_jpeg_progressive_query_matches_baseline_query(ray_session):
+    """jpeg_progressive_ingest_warp_tile must produce the EXACT same per-tile
+    phashes as jpeg_ingest_warp_tile: a progressive re-encode at the same
+    quality/subsampling carries identical quantized coefficients, so the two
+    ingest paths are pixel-identical end to end."""
+    from projcl_ray.queries import QUERIES
+
+    key = ["image_id", "tile_idx"]
+    base = QUERIES["jpeg_ingest_warp_tile"]("unused").to_pandas()
+    prog = QUERIES["jpeg_progressive_ingest_warp_tile"]("unused").to_pandas()
+    a = base.sort_values(key).reset_index(drop=True)
+    b = prog.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["tile_phash"] == b["tile_phash"]).all()
+    assert (a["cell_id"] == b["cell_id"]).all()
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) support: a ``progressive=True`` encode carries the
+    exact same quantized coefficients as the baseline encode, so its
+    full-precision decode must be bit-identical to decoding the baseline
+    file — for gray/RGB/RGBA, 4:4:4 and 4:2:0, odd sizes, and dimensions
+    below one band (h < 8). Decode side also accepts real-world SOF2 scan
+    scripts (spectral selection + successive approximation + EOB runs)."""
+    from projcl_ray import jpeg as J
+    from projcl_ray.images import synth_pixels
+
+    rng = np.random.default_rng(11)
+    for trial in range(14):
+        hh, ww = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        img = synth_pixels(trial, ww, hh)
+        src = [img, img[..., :3].copy(), img[..., 0].copy()][trial % 3]
+        for sub in (False, True):
+            base = J.decode_jpeg(J.encode_jpeg(src, quality=88, subsample=sub))
+            prog_bytes = J.encode_jpeg(src, quality=88, subsample=sub,
+                                       progressive=True)
+            assert prog_bytes[:4] != b""  # non-degenerate
+            prog = J.decode_jpeg(prog_bytes)
+            np.testing.assert_array_equal(prog, base)
+
+    # marker-level sanity: the progressive file really is SOF2 multi-scan
+    pb = J.encode_jpeg(synth_pixels(3, 40, 40), quality=90, progressive=True)
+    assert b"\xFF\xC2" in pb and pb.count(b"\xFF\xDA") >= 7
+    assert J.encode_jpeg(synth_pixels(3, 40, 40), quality=90,
+                         progressive=True) == pb  # deterministic
