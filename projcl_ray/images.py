@@ -9,23 +9,52 @@ caption: string, phash: int64)`` plus our georeferencing sidecar columns
 Codec policy: ``fmt="raw"`` (uncompressed RGBA bytes, h·w·4 uint8, C-order),
 ``fmt="png"`` and ``fmt="jpeg"`` are all first-class via in-repo pure-Python
 codecs (:mod:`projcl_ray.png`: zlib+numpy, lossless; :mod:`projcl_ray.jpeg`:
-baseline JFIF, vectorized DCT) — no PIL/cv2 needed anywhere, so the whole
-decode→warp→encode pipeline is real for compressed images too.
+baseline+progressive JFIF, vectorized DCT) — no PIL/cv2 needed anywhere, so
+the whole decode→warp→encode pipeline is real for compressed images too.
+
+Deployment knob: when an optimized codec library (PIL) IS importable,
+``decode_image`` uses it for png/jpeg — libjpeg-turbo entropy decode is
+orders of magnitude faster than any pure-Python Huffman walk, and on a
+compressed 100 TB corpus the decode stage dominates. The in-repo codecs stay
+as the always-available fallback and the determinism oracle; set
+``PROJCL_PURE_CODECS=1`` to force them (used by tests that pin exact pixel
+hashes). A skipped-unless-PIL-available pytest checks parity between the two
+paths (PNG bit-exact; JPEG within IDCT-rounding tolerance).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
 
 CHANNELS = 4  # RGBA, matching the reference's float4 pixel model
 
+_PIL_IMAGE = None  # probed once per process (0 = probed, absent)
+
+
+def _pil():
+    """Return PIL.Image when importable and not disabled, else None."""
+    global _PIL_IMAGE
+    if os.environ.get("PROJCL_PURE_CODECS"):
+        return None
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image as _img  # noqa: PLC0415
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = 0
+    return _PIL_IMAGE or None
+
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """bytes → (h, w, 4) uint8. ``raw`` is the first-class format
-    (uncompressed RGBA, always available); png/jpeg decode via PIL or cv2
-    when importable (this container ships neither — the hook is exercised by
-    a skipped-unless-available pytest), else a clear NotImplementedError."""
+    (uncompressed RGBA, always available); png/jpeg decode via PIL when
+    importable (libjpeg/zlib-speed — the production path on a real cluster),
+    else via the in-repo pure-Python codecs (always available, the
+    determinism oracle)."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, CHANNELS)
     if fmt == "rawrgb":  # 3-channel raw → opaque RGBA (reference accepts any
@@ -40,11 +69,17 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = lum
         out[..., 3] = 255
         return out
-    if fmt == "png":
-        from . import png as _png
+    if fmt in ("png", "jpeg"):
+        pil = _pil()
+        if pil is not None:
+            import io
 
-        return _png.decode_png(buf)
-    if fmt == "jpeg":
+            out = np.asarray(pil.open(io.BytesIO(buf)).convert("RGBA"))
+            return np.ascontiguousarray(out, np.uint8)
+        if fmt == "png":
+            from . import png as _png
+
+            return _png.decode_png(buf)
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(buf)

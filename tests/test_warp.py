@@ -373,6 +373,45 @@ def test_jpeg_codec_roundtrip_and_modes():
         J.decode_jpeg(b"definitely not a jpeg")
 
 
+def test_fast_codec_swapin_parity():
+    """Deployment knob: when PIL is importable, decode_image routes png/jpeg
+    through it (libjpeg/zlib speed); the in-repo codecs remain the fallback
+    and oracle. Parity: PNG must match bit-exactly (lossless both sides);
+    JPEG within IDCT-rounding tolerance. Skipped where PIL is absent (this
+    container) — the PROJCL_PURE_CODECS escape hatch is tested regardless."""
+    import pytest
+
+    from projcl_ray import images as I
+    from projcl_ray import jpeg as J
+    from projcl_ray import png as P
+    from projcl_ray.images import synth_pixels
+
+    # the escape hatch must always force the pure path (testable without PIL)
+    import os
+    old = os.environ.get("PROJCL_PURE_CODECS")
+    os.environ["PROJCL_PURE_CODECS"] = "1"
+    try:
+        assert I._pil() is None
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_PURE_CODECS")
+        else:
+            os.environ["PROJCL_PURE_CODECS"] = old
+
+    pytest.importorskip("PIL.Image")
+    assert I._pil() is not None
+    img = synth_pixels(7, 45, 33)
+    png_bytes = P.encode_png(img, filter_type=4)
+    np.testing.assert_array_equal(
+        I.decode_image(png_bytes, 45, 33, "png"), P.decode_png(png_bytes))
+    jpg_bytes = J.encode_jpeg(img, quality=90)
+    fast = I.decode_image(jpg_bytes, 45, 33, "jpeg").astype(np.float64)
+    pure = J.decode_jpeg(jpg_bytes).astype(np.float64)
+    assert fast.shape == pure.shape
+    mse = np.mean((fast[..., :3] - pure[..., :3]) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 40.0
+
+
 def test_jpeg_progressive_query_matches_baseline_query(ray_session):
     """jpeg_progressive_ingest_warp_tile must produce the EXACT same per-tile
     phashes as jpeg_ingest_warp_tile: a progressive re-encode at the same
