@@ -6,17 +6,21 @@ libraries, so PNG support is implemented from the PNG specification (RFC
 2083 / W3C PNG) directly — no PIL/cv2 required. This makes ``fmt="png"`` a
 first-class ingest/egress format for the warp/tile pipelines.
 
-Scope (everything a pipeline producer in this repo, and the common crop of
-real-world PNGs, needs):
-- decode: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+Scope (any real-world PNG):
+- decode: bit depths 1/2/4 (gray + palette), 8 and 16 (all color types the
+  spec allows them for); color types 0 (gray), 2 (RGB), 3 (palette), 4
   (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/Average/
-  Paeth); tRNS transparency for palette and for gray/RGB colorkey;
-  non-interlaced only (Adam7 rejected with a clear error). Output is always
-  (h, w, 4) uint8 RGBA — the engine's pixel model.
-- encode: RGBA/RGB/gray from a numpy array, selectable scanline filter
-  (default 0 = None: deterministic bytes, fastest; Sub/Up/Average/Paeth are
-  implemented vectorized — filtering on encode has no sequential dependency
-  — and exist mainly so every decode branch is round-trip testable).
+  Paeth); tRNS transparency for palette and for gray/RGB colorkey (matched
+  at native bit depth); BOTH non-interlaced and Adam7-interlaced streams
+  (each pass unfiltered independently per the spec). Output is always
+  (h, w, 4) uint8 RGBA — the engine's pixel model; 16-bit samples reduce by
+  round(v/257) (exact for the 257·x replicated values 8-bit encoders emit).
+- encode: RGBA/RGB/gray from a numpy array (uint8 → depth 8, uint16 →
+  depth 16), selectable scanline filter (default 0 = None: deterministic
+  bytes, fastest; Sub/Up/Average/Paeth are implemented vectorized —
+  filtering on encode has no sequential dependency) and optional
+  ``interlace=True`` Adam7 output, so every decode branch is round-trip
+  testable in-repo.
 
 Determinism: encoding the same array with the same arguments yields the
 same bytes on any platform (zlib with a fixed level, fixed filter choice).
@@ -32,6 +36,12 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 # channels per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# bit depths the spec allows per color type
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+           4: (8, 16), 6: (8, 16)}
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -81,9 +91,14 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr: np.ndarray, *, level: int = 6, filter_type: int = 0) -> bytes:
-    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG bytes."""
-    arr = np.ascontiguousarray(arr, np.uint8)
+def encode_png(arr: np.ndarray, *, level: int = 6, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes.
+    uint8 input emits depth 8; uint16 input emits depth 16 (big-endian
+    samples). ``interlace=True`` emits an Adam7 stream (each pass filtered
+    independently, per the spec)."""
+    depth = 16 if np.asarray(arr).dtype == np.uint16 else 8
+    arr = np.ascontiguousarray(arr, np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 2:
         color, ch = 0, 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -93,10 +108,21 @@ def encode_png(arr: np.ndarray, *, level: int = 6, filter_type: int = 0) -> byte
     else:
         raise ValueError(f"unsupported array shape {arr.shape} for PNG encode")
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = arr.reshape(h, w * ch)
-    stream = _filtered_stream(raw, ch, filter_type)
-    idat = zlib.compress(stream, level)
+    arr = arr.reshape(h, w, ch)
+    bpp = ch * depth // 8
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    stream = bytearray()
+    for xs, ys, xst, yst in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        sub = arr[ys::yst, xs::xst]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if depth == 16:
+            raw = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
+        else:
+            raw = sub
+        stream += _filtered_stream(raw.reshape(ph, pw * bpp), bpp, filter_type)
+    idat = zlib.compress(bytes(stream), level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -146,6 +172,51 @@ def _unfilter(stream: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_scanbytes(rows: np.ndarray, pw: int, ch: int,
+                      depth: int) -> np.ndarray:
+    """(ph, stride) unfiltered scanline bytes → (ph, pw, ch) samples at
+    native precision (uint16 for depth 16, else uint8; sub-byte depths are
+    raw sample values — scaling/palette lookup happens later)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * ch].reshape(ph, pw, ch)
+    if depth == 16:
+        b = rows[:, : pw * ch * 2].reshape(ph, pw * ch, 2).astype(np.uint16)
+        return ((b[..., 0] << 8) | b[..., 1]).reshape(ph, pw, ch)
+    # 1/2/4-bit (ch == 1): samples packed MSB-first within each byte
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(ph, pw, 1)
+
+
+def _decode_pixels(stream: bytes, w: int, h: int, ch: int, depth: int,
+                   interlace: int) -> np.ndarray:
+    """Decompressed IDAT stream → (h, w, ch) samples at native precision,
+    handling both the single sequential pass and the 7 Adam7 sub-images
+    (each pass is filtered independently; empty passes contribute no
+    bytes)."""
+    px = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
+    bpp = max(1, ch * depth // 8)
+    data = np.frombuffer(stream, np.uint8)
+    off = 0
+    for xs, ys, xst, yst in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        pw = (w - xs + xst - 1) // xst
+        ph = (h - ys + yst - 1) // yst
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        need = ph * (stride + 1)
+        if off + need > len(data):
+            raise ValueError("corrupt PNG: wrong IDAT length")
+        rows = _unfilter(data[off : off + need], ph, stride, bpp)
+        off += need
+        px[ys::yst, xs::xst] = _unpack_scanbytes(rows, pw, ch, depth)
+    if off != len(data):
+        raise ValueError("corrupt PNG: wrong IDAT length")
+    return px
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 4) uint8 RGBA."""
     if buf[:8] != _SIG:
@@ -177,40 +248,48 @@ def decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("corrupt PNG: no IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if comp != 0 or filt != 0:
-        raise ValueError("corrupt PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color} unsupported")
+    if depth not in _DEPTHS[color]:
+        raise ValueError(f"corrupt PNG: depth {depth} invalid for color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("corrupt PNG: unknown compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
     ch = _CHANNELS[color]
-    stride = w * ch
-    stream = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if len(stream) != h * (stride + 1):
-        raise ValueError("corrupt PNG: wrong IDAT length")
-    px = _unfilter(stream, h, stride, ch).reshape(h, w, ch)
+    px = _decode_pixels(zlib.decompress(bytes(idat)), w, h, ch, depth, interlace)
 
+    # native→8-bit sample reduction: 16-bit rounds by /257; sub-byte gray
+    # scales by 255/(2^d−1) (exact: 1→255, 3→85, 15→17); palette indices
+    # pass through unscaled.
+    def to8(p: np.ndarray) -> np.ndarray:
+        if depth == 16:
+            return ((p.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+        if depth < 8 and color != 3:
+            return (p * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return p
+
+    keymask = (1 << depth) - 1  # tRNS colorkeys match at native depth
     out = np.empty((h, w, 4), np.uint8)
     if color == 6:  # RGBA
-        out[:] = px
+        out[:] = to8(px)
     elif color == 2:  # RGB (+ optional colorkey tRNS)
-        out[..., :3] = px
+        out[..., :3] = to8(px)
         out[..., 3] = 255
         if trns is not None and len(trns) >= 6:
-            key = struct.unpack(">HHH", trns[:6])
-            mask = np.all(px == np.array(key, np.uint16)[None, None, :] % 256, axis=2)
-            out[..., 3] = np.where(mask, 0, 255)
+            key = np.array(struct.unpack(">HHH", trns[:6]), np.uint16) & keymask
+            out[..., 3] = np.where(np.all(px == key[None, None, :], axis=2), 0, 255)
     elif color == 0:  # gray
-        out[..., 0] = out[..., 1] = out[..., 2] = px[..., 0]
+        g = to8(px)[..., 0]
+        out[..., 0] = out[..., 1] = out[..., 2] = g
         out[..., 3] = 255
         if trns is not None and len(trns) >= 2:
             (key,) = struct.unpack(">H", trns[:2])
-            out[..., 3] = np.where(px[..., 0] == key % 256, 0, 255)
+            out[..., 3] = np.where(px[..., 0] == (key & keymask), 0, 255)
     elif color == 4:  # gray + alpha
-        out[..., 0] = out[..., 1] = out[..., 2] = px[..., 0]
-        out[..., 3] = px[..., 1]
+        ga = to8(px)
+        out[..., 0] = out[..., 1] = out[..., 2] = ga[..., 0]
+        out[..., 3] = ga[..., 1]
     elif color == 3:  # palette
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")

@@ -1331,9 +1331,11 @@ def q_png_ingest(sf_dir: str):
     from .images import decode_image, phash64, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
-    for r in rows:
+    for i, r in enumerate(rows):
         img = decode_image(r["bytes"], r["w"], r["h"], "raw")
-        r["bytes"] = png_mod.encode_png(img, filter_type=4)
+        # alternate sequential / Adam7-interlaced files: decode is lossless
+        # either way, so the tile phashes are independent of the container
+        r["bytes"] = png_mod.encode_png(img, filter_type=4, interlace=bool(i % 2))
         r["fmt"] = "png"
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),

@@ -373,6 +373,102 @@ def test_jpeg_codec_roundtrip_and_modes():
         J.decode_jpeg(b"definitely not a jpeg")
 
 
+def test_png_interlaced_and_deep_depths():
+    """Adam7 interlace and non-8-bit depths (completes "any real-world
+    PNG"): an interlaced encode must decode identically to the sequential
+    encode for every color type/filter/odd size (incl. dims < one 8×8
+    pass); 16-bit files reduce by round(v/257) (exact on 257·x replicated
+    values); 1/2/4-bit gray scales exactly (255/85/17), palette indices
+    pass through, tRNS colorkeys match at native depth; interlaced
+    sub-byte streams pack each pass's scanlines independently."""
+    import struct
+    import zlib
+
+    from projcl_ray import png as P
+    from projcl_ray.images import synth_pixels
+
+    rng = np.random.default_rng(5)
+    for trial in range(15):
+        hh, ww = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        img = synth_pixels(trial, ww, hh)
+        src = [img, img[..., :3].copy(), img[..., 0].copy()][trial % 3]
+        ft = trial % 5
+        plain = P.decode_png(P.encode_png(src, filter_type=ft))
+        inter = P.decode_png(P.encode_png(src, filter_type=ft, interlace=True))
+        np.testing.assert_array_equal(plain, inter)
+
+    # 16-bit: 257·x replicated values decode exactly; rounding is /257
+    img8 = synth_pixels(3, 23, 17)
+    for interlace in (False, True):
+        out = P.decode_png(P.encode_png(img8.astype(np.uint16) * 257,
+                                        interlace=interlace))
+        np.testing.assert_array_equal(out, img8)
+    assert P.decode_png(P.encode_png(np.full((3, 3), 500, np.uint16)))[0, 0, 0] \
+        == round(500 / 257)
+    g16 = rng.integers(0, 65536, (9, 7)).astype(np.uint16)
+    out = P.decode_png(P.encode_png(g16, filter_type=4, interlace=True))
+    exp = ((g16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    np.testing.assert_array_equal(out[..., 0], exp)
+
+    # sub-byte depths: hand-built files (the encoder emits 8/16 only)
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    def build(w, h, depth, color, stream, plte=b"", trns=b"", interlace=0):
+        out = P._SIG + chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+        if plte:
+            out += chunk(b"PLTE", plte)
+        if trns:
+            out += chunk(b"tRNS", trns)
+        return out + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+
+    def pack(vals, d):
+        bits = ((vals[:, :, None].astype(np.uint8)
+                 >> np.arange(d - 1, -1, -1, dtype=np.uint8)) & 1)
+        bits = bits.astype(np.uint8).reshape(vals.shape[0], -1)
+        bits = np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 8)))
+        return np.packbits(bits, axis=1)
+
+    def rows_stream(vals, d):
+        return b"".join(b"\x00" + r.tobytes() for r in pack(vals, d))
+
+    # 1-bit gray (10 px wide → packed with trailing pad bits)
+    onebit = (np.arange(30).reshape(3, 10) % 2).astype(np.uint8)
+    out = P.decode_png(build(10, 3, 1, 0, rows_stream(onebit, 1)))
+    np.testing.assert_array_equal(out[..., 0], onebit * 255)
+
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = np.array([[0, 1, 2, 3, 0], [3, 3, 1, 0, 2]], np.uint8)
+    out = P.decode_png(build(5, 2, 2, 3, rows_stream(idx, 2), plte=plte))
+    pl = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(out[..., :3], pl[idx])
+
+    # 4-bit gray + native-depth tRNS colorkey (key=5)
+    g = np.array([[0, 5, 15, 7]], np.uint8)
+    out = P.decode_png(build(4, 1, 4, 0, rows_stream(g, 4),
+                             trns=struct.pack(">H", 5)))
+    np.testing.assert_array_equal(out[0, :, 0], g[0] * 17)
+    np.testing.assert_array_equal(out[0, :, 3], np.where(g[0] == 5, 0, 255))
+
+    # interlaced 1-bit gray: per-pass packing
+    full = (np.arange(81).reshape(9, 9) % 2).astype(np.uint8)
+    stream = b""
+    for xs, ys, xst, yst in P._ADAM7:
+        sub = full[ys::yst, xs::xst]
+        if sub.size:
+            stream += rows_stream(sub, 1)
+    out = P.decode_png(build(9, 9, 1, 0, stream, interlace=1))
+    np.testing.assert_array_equal(out[..., 0], full * 255)
+
+    # invalid depth/color combos still rejected
+    import pytest
+    with pytest.raises(ValueError):
+        P.decode_png(build(2, 1, 2, 2, b"\x00\x00"))  # 2-bit RGB is illegal
+
+
 def test_fast_codec_swapin_parity():
     """Deployment knob: when PIL is importable, decode_image routes png/jpeg
     through it (libjpeg/zlib speed); the in-repo codecs remain the fallback
