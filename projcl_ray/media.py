@@ -4,8 +4,10 @@ container ships no media libraries (same policy as png/jpeg in images.py).
 
 Layout conventions:
 - audio rows:  (clip_id: string, bytes: binary, sample_rate: int32,
-  n_samples: int64, fmt: string)  — fmt="pcm16" is first-class (raw int16 LE);
-  "mp3"/"flac" raise NotImplementedError at decode.
+  n_samples: int64, fmt: string)  — fmt="pcm16" (raw int16 LE), "wav"
+  (in-repo RIFF codec below) and "flac" (in-repo lossless codec,
+  projcl_ray/flac.py) are first-class; "mp3" raises NotImplementedError at
+  decode (DSP-heavy, requires a codec library).
 - video rows:  (video_id: string, bytes: binary, w: int32, h: int32,
   n_frames: int32, fmt: string) — fmt="rawv" = n_frames raw RGBA frames
   concatenated; "mp4" stub.
@@ -27,11 +29,17 @@ def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
         return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
     if fmt == "wav":
         return decode_wav(buf)[0]
-    if fmt in ("mp3", "flac"):
+    if fmt == "flac":
+        from .flac import decode_flac
+
+        samples, _sr, bps = decode_flac(buf)
+        x = samples.astype(np.float32) / float(1 << (bps - 1))
+        return x.mean(axis=1).astype(np.float32) if x.shape[1] > 1 else x[:, 0]
+    if fmt == "mp3":
         raise NotImplementedError(
-            f"{fmt} decode requires a DSP codec library not present in this "
-            "environment; use fmt='pcm16' (raw int16 LE) or fmt='wav' "
-            "(in-repo RIFF codec)."
+            "mp3 decode requires a DSP codec library not present in this "
+            "environment; use fmt='pcm16' (raw int16 LE), fmt='wav' "
+            "(in-repo RIFF codec) or fmt='flac' (in-repo lossless codec)."
         )
     raise ValueError(f"unknown audio format {fmt!r}")
 

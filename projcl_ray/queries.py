@@ -1555,6 +1555,26 @@ def q_wav(sf_dir: str):
     return audio_features(rd.from_arrow(pa.Table.from_pylist(rows)))
 
 
+@q("media_flac_features")  # real FLAC ingest (in-repo codec) — rows-only
+def q_flac(sf_dir: str):
+    """Audio features over REAL FLAC containers: the same synthetic pcm16
+    clips as media_wav_features, compressed by the in-repo pure-Python FLAC
+    codec (projcl_ray/flac.py — FIXED/LPC predictors, Rice residuals) and
+    decoded back losslessly, so the feature rows are bit-identical to the
+    WAV query's (pinned in tests/test_mosaic_media.py)."""
+    import pyarrow as pa
+
+    from .flac import encode_flac
+    from .media import audio_features, synth_audio_table
+
+    rows = synth_audio_table(32).to_pylist()
+    for r in rows:
+        pcm = np.frombuffer(r["bytes"], "<i2")
+        r["bytes"] = encode_flac(pcm, r["sample_rate"])
+        r["fmt"] = "flac"
+    return audio_features(rd.from_arrow(pa.Table.from_pylist(rows)))
+
+
 @q("media_video_frame_sample")  # rows-only
 def q_video(sf_dir: str):
     from .media import sample_video_frames, synth_video_table

@@ -210,3 +210,68 @@ def test_wav_codec_roundtrip_and_variants():
     np.testing.assert_array_equal(x, pcm.astype(np.float32) / 32768.0)
     with pytest.raises(ValueError):
         decode_wav(b"not a wav at all")
+
+
+def test_flac_codec_roundtrip_matrix():
+    """In-repo FLAC codec (projcl_ray/flac.py, RFC 9639): encode→decode must
+    be bit-exact for every predictor/residual path the encoder can choose —
+    CONSTANT (silence/DC), FIXED, LPC (tonal), VERBATIM + raw-escape
+    partitions (full-range noise), wasted bits (shifted samples),
+    multi-partition blocks (silence→burst), all three stereo decorrelation
+    modes, multichannel, and 8/16/24-bit depths; output is deterministic and
+    junk is rejected."""
+    from projcl_ray.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(12000) / sr
+    x = np.clip((0.5 * np.sin(2 * np.pi * 220 * t)
+                 + 0.05 * rng.normal(size=len(t))) * 32767,
+                -32768, 32767).astype(np.int16)
+    mono_cases = [
+        x,                                                # tonal → LPC
+        np.zeros(5000, np.int16),                         # constant
+        np.full(100, 123, np.int16),
+        rng.integers(-32768, 32767, 7).astype(np.int16),  # sub-block frame
+        rng.integers(-32768, 32767, 5000).astype(np.int16),   # noise
+        (rng.integers(-2048, 2048, 5000) * 16).astype(np.int16),  # wasted bits
+        np.concatenate([np.zeros(3000, np.int16), x[:1096]]),  # partitions
+    ]
+    for sig in mono_cases:
+        out, sr2, bps = decode_flac(encode_flac(sig, 8000))
+        assert sr2 == 8000 and bps == 16
+        np.testing.assert_array_equal(out[:, 0], sig.astype(np.int32))
+    # stereo: correlated (mid/side), identical (zero side), independent
+    for st in (
+        np.stack([x, (x * 0.9).astype(np.int16)], 1),
+        np.stack([x, x], 1),
+        np.stack([x, rng.integers(-32768, 32767, len(x)).astype(np.int16)], 1),
+    ):
+        out, _, _ = decode_flac(encode_flac(st, sr))
+        np.testing.assert_array_equal(out, st.astype(np.int32))
+    mc = np.stack([x[:4000], np.roll(x[:4000], 1), np.roll(x[:4000], 2)], 1)
+    out, _, _ = decode_flac(encode_flac(mc, sr))
+    np.testing.assert_array_equal(out, mc.astype(np.int32))
+    for bps, lim in ((8, 1 << 7), (24, 1 << 23)):
+        sig = rng.integers(-lim, lim, 3000)
+        out, _, b2 = decode_flac(encode_flac(sig, 8000, bps=bps))
+        assert b2 == bps
+        np.testing.assert_array_equal(out[:, 0], sig)
+    assert encode_flac(x, sr) == encode_flac(x, sr)  # deterministic
+    with pytest.raises(ValueError):
+        decode_flac(b"definitely not flac")
+
+
+def test_flac_features_query_matches_wav(ray_session):
+    """media_flac_features must produce bit-identical feature rows to
+    media_wav_features: both containers are lossless over the same pcm16
+    clips, so rms/peak/zcr/duration agree exactly."""
+    from projcl_ray.queries import QUERIES
+
+    wav = QUERIES["media_wav_features"]("unused").to_pandas()
+    flac = QUERIES["media_flac_features"]("unused").to_pandas()
+    a = wav.sort_values("clip_id").reset_index(drop=True)
+    b = flac.sort_values("clip_id").reset_index(drop=True)
+    assert len(a) == len(b) == 32
+    for col in ("rms", "peak", "zcr", "duration_s"):
+        np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy())
