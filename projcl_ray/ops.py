@@ -1311,7 +1311,8 @@ def cell_counts(
     key_col: str = "cell_id",
     *,
     batch_size: int | None = None,  # whole blocks: a coalescing batch_size would stall the stream
-    driver_merge: bool = True,
+    driver_merge: bool | str = "auto",
+    auto_cap: int = 4_000_000,
 ):
     """Skew-proof distributed count per key: partial counts per batch inside
     map_batches (the combiner). A hot key contributes ONE row per batch
@@ -1319,23 +1320,25 @@ def cell_counts(
     aggregates (SURVEY §7).
 
     Merge of the partials:
-    - ``driver_merge=True`` (default): stream the tiny partial rows to the
-      driver and merge in pandas — NO shuffle. Partial volume is bounded by
-      (#blocks × distinct keys per block), small even at 100 TB for
-      cell-grained keys. Returns a pandas DataFrame.
+    - ``driver_merge=True``: stream the partial rows to the driver and merge
+      incrementally in pandas — NO shuffle, and the driver holds only the
+      merged distinct keys (not the raw partials stream). Returns a pandas
+      DataFrame. Ray's sort-based aggregate costs seconds of fixed latency
+      regardless of row count — for a few thousand output rows the driver
+      merge removes it entirely (measured 13.6 s → 7.7 s on the headline
+      pipeline).
     - ``driver_merge=False``: distributed groupby-sum over the partials (for
       genuinely huge key cardinalities). Returns a Dataset.
-
-    Ray's sort-based aggregate costs seconds of fixed latency regardless of
-    row count — for a few thousand output rows the driver merge removes it
-    entirely (measured 13.6 s → 7.7 s on the headline pipeline).
-
-    Default threshold guidance: driver merge is right while
-    (#blocks × distinct keys per block) stays ≲ 10⁷ partial rows (cell-grained
-    keys: ≤ 2592 cells at 5° — always fine). Flip to ``driver_merge=False``
-    when the key is finer than cell-grained (tile ids, user ids, content
-    hashes), where distinct-keys-per-block ≈ block rows and the partials
-    stream ≈ the input.
+    - ``driver_merge="auto"`` (default): start the streaming driver merge;
+      if the merged distinct-key count exceeds ``auto_cap`` (the key turned
+      out finer than cell-grained — tile ids, user ids, content hashes),
+      abandon it and fall back to the distributed merge, returning a
+      Dataset. The guard triggers off measured cardinality, not a docstring
+      threshold; the only cost is paid in the (misjudged) fine-key case,
+      where the partials re-execute — correctness of scale beats speed
+      there. Callers that need a guaranteed DataFrame pass
+      ``driver_merge=True`` (cell-grained keys: ≤ 2592 cells at 5° — the
+      merged frame is always tiny).
     """
 
     def partial(batch: dict) -> dict:
@@ -1343,11 +1346,31 @@ def cell_counts(
         return {key_col: keys, "partial_n": counts.astype(np.int64)}
 
     partials = ds.map_batches(partial, batch_format="numpy", batch_size=batch_size)
-    if driver_merge:
-        pdf = partials.to_pandas()
-        return (
-            pdf.groupby(key_col, as_index=False)["partial_n"].sum().rename(columns={"partial_n": "n"})
-        )
+    if driver_merge:  # True or "auto"
+        import pandas as pd
+
+        strict = driver_merge is True
+        compact_at = 1_000_000 if strict else min(1_000_000, auto_cap)
+        acc: list = []
+        acc_rows = 0
+        flipped = False
+        for b in partials.iter_batches(batch_format="pandas", batch_size=None):
+            acc.append(b)
+            acc_rows += len(b)
+            if acc_rows > compact_at:  # compact: driver holds merged keys only
+                merged = pd.concat(acc).groupby(key_col, as_index=False)["partial_n"].sum()
+                acc, acc_rows = [merged], len(merged)
+                if not strict and acc_rows > auto_cap:
+                    flipped = True
+                    break
+        if not flipped:
+            if not acc:
+                return pd.DataFrame({key_col: pd.array([], dtype="int64"),
+                                     "n": pd.array([], dtype="int64")})
+            return (
+                pd.concat(acc).groupby(key_col, as_index=False)["partial_n"]
+                .sum().rename(columns={"partial_n": "n"})
+            )
     from ray.data.aggregate import Sum
 
     return partials.groupby(key_col).aggregate(Sum("partial_n", alias_name="n"))

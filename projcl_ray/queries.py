@@ -682,7 +682,7 @@ def q_salted_cell_counts(sf_dir: str):
     aggregate on the salted key → de-salt and merge — must reproduce the
     plain (unsalted) per-cell counts exactly."""
     ds = ops.assign_cells(derive_points(sf_dir), res_deg=DEFAULT_RES_DEG)
-    pre = ops.cell_counts(ds, "cell_id")  # combiner pre-pass (driver merge)
+    pre = ops.cell_counts(ds, "cell_id", driver_merge=True)  # combiner pre-pass
     cut = float(pre["n"].quantile(0.95))
     hot = {int(r["cell_id"]): 8 for _, r in pre.iterrows() if r["n"] > cut}
     if not hot:  # degenerate tiny inputs: salt the max cell anyway

@@ -54,11 +54,24 @@ def test_cell_counts_matches_groupby(ray_session, sf_dir):
 
     ds = ops.assign_cells(derive_points(sf_dir))
     # driver-merge mode returns pandas directly; shuffle mode returns a Dataset
-    fast = ops.cell_counts(ds).set_index("cell_id")["n"]
+    fast = ops.cell_counts(ds, driver_merge=True).set_index("cell_id")["n"]
     dist = ops.cell_counts(ds, driver_merge=False).to_pandas().set_index("cell_id")["n"]
     slow = ds.groupby("cell_id").count().to_pandas().set_index("cell_id")["count()"]
     assert fast.sort_index().equals(slow.sort_index().rename("n"))
     assert dist.sort_index().equals(slow.sort_index().rename("n"))
+    # auto mode: cell-grained key stays a driver merge (DataFrame)…
+    auto = ops.cell_counts(ds)
+    assert not isinstance(auto, rd.Dataset)
+    assert auto.set_index("cell_id")["n"].sort_index().equals(
+        slow.sort_index().rename("n"))
+    # …but a key finer than the cap auto-flips to the distributed merge
+    # (Dataset), with identical counts — no docstring threshold involved
+    fine = ops.cell_counts(ds, key_col="l_orderkey", auto_cap=50)
+    assert isinstance(fine, rd.Dataset)
+    got = fine.to_pandas().set_index("l_orderkey")["n"]
+    want = (ds.groupby("l_orderkey").count().to_pandas()
+            .set_index("l_orderkey")["count()"].rename("n"))
+    assert got.sort_index().equals(want.sort_index())
 
 
 def test_datum_shift_on_grids():
