@@ -27,6 +27,12 @@ FILTER = os.environ.get("GRAFT_BENCH_FILTER", "bilinear")
 # distributed aggregate (the 100 TB-representative path: at 10^12 images the
 # cell histogram is itself large) vs driver-merge (fastest for small results)
 DIST_AGG = os.environ.get("GRAFT_BENCH_DIST_AGG", "0") == "1"
+# comma-separated pipeline subset (e.g. "warp_tile"); empty = the full suite
+_ONLY = {s for s in os.environ.get("GRAFT_BENCH_ONLY", "").split(",") if s}
+
+
+def _want(name: str) -> bool:
+    return not _ONLY or name in _ONLY
 
 
 def run_suite() -> dict:
@@ -87,86 +93,96 @@ def run_suite() -> dict:
     extra["tiles_per_sec"] = round(float(n_tiles) / timings["warp_tile"], 2)
 
     # --- PIP join rows/sec over derived lineitem points ---
-    polys = synth_polygons(64)
-    t0 = time.time()
-    pts = derive_points(SF_DIR)
-    joined = ops.pip_join(pts, polys, concurrency=(2, pool))
-    n_joined = joined.count()
-    timings["pip_join"] = time.time() - t0
-    n_pts = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
-    extra["pip_rows_per_sec"] = round(n_pts / timings["pip_join"], 2)
-    extra["pip_matches"] = int(n_joined)
+    if _want("pip_join"):
+        polys = synth_polygons(64)
+        t0 = time.time()
+        pts = derive_points(SF_DIR)
+        joined = ops.pip_join(pts, polys, concurrency=(2, pool))
+        n_joined = joined.count()
+        timings["pip_join"] = time.time() - t0
+        n_pts = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+        extra["pip_rows_per_sec"] = round(n_pts / timings["pip_join"], 2)
+        extra["pip_matches"] = int(n_joined)
 
     # --- projection round-trip throughput (pts/sec, fwd+inv TM ellipsoidal) ---
-    t0 = time.time()
-    proj = ops.project_points(derive_points(SF_DIR), "transverse_mercator", spheroid="WGS_84")
-    back = ops.project_points(proj, "transverse_mercator", spheroid="WGS_84",
-                              inverse=True, lon_col="lon2", lat_col="lat2")
-    back.map_batches(
-        lambda b: {"n": np.array([len(b["lon2"])])}, batch_format="numpy"
-    ).sum("n")
-    timings["project_roundtrip"] = time.time() - t0
-    extra["project_pts_per_sec"] = round(2 * n_pts / timings["project_roundtrip"], 2)
+    if _want("project_roundtrip"):
+        t0 = time.time()
+        proj = ops.project_points(derive_points(SF_DIR), "transverse_mercator", spheroid="WGS_84")
+        back = ops.project_points(proj, "transverse_mercator", spheroid="WGS_84",
+                                  inverse=True, lon_col="lon2", lat_col="lat2")
+        back.map_batches(
+            lambda b: {"n": np.array([len(b["lon2"])])}, batch_format="numpy"
+        ).sum("n")
+        timings["project_roundtrip"] = time.time() - t0
+        n_pts = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+        extra["project_pts_per_sec"] = round(2 * n_pts / timings["project_roundtrip"], 2)
 
     # --- datum shift ---
-    t0 = time.time()
-    ops.shift_datum(derive_points(SF_DIR), "WGS_84", "NAD_27").map_batches(
-        lambda b: {"n": np.array([len(b["lon"])])}, batch_format="numpy"
-    ).sum("n")
-    timings["datum_shift"] = time.time() - t0
+    if _want("datum_shift"):
+        t0 = time.time()
+        ops.shift_datum(derive_points(SF_DIR), "WGS_84", "NAD_27").map_batches(
+            lambda b: {"n": np.array([len(b["lon"])])}, batch_format="numpy"
+        ).sum("n")
+        timings["datum_shift"] = time.time() - t0
 
     # --- geodesic kNN (customer → supplier) ---
-    t0 = time.time()
-    from projcl_ray.queries import q_knn
+    if _want("knn"):
+        t0 = time.time()
+        from projcl_ray.queries import q_knn
 
-    q_knn(SF_DIR)
-    timings["knn"] = time.time() - t0
+        q_knn(SF_DIR)
+        timings["knn"] = time.time() - t0
 
     # --- dedup: exact + minhash LSH over documents ---
-    t0 = time.time()
-    dedup.exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                                      columns=["doc_id", "text"])).count()
-    timings["dedup_exact"] = time.time() - t0
-    t0 = time.time()
-    dedup.minhash_lsh_candidates(
-        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
-        concurrency=(2, pool),
-    ).count()
-    timings["dedup_minhash"] = time.time() - t0
+    if _want("dedup_exact"):
+        t0 = time.time()
+        dedup.exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                          columns=["doc_id", "text"])).count()
+        timings["dedup_exact"] = time.time() - t0
+    if _want("dedup_minhash"):
+        t0 = time.time()
+        dedup.minhash_lsh_candidates(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+            concurrency=(2, pool),
+        ).count()
+        timings["dedup_minhash"] = time.time() - t0
 
     # --- raster<->vector: density tiles over the derived points ---
-    t0 = time.time()
-    n_rtiles = ops.rasterize_points(derive_points(SF_DIR), res_deg=5.0, tile_px=64).count()
-    timings["rasterize"] = time.time() - t0
-    extra["raster_tiles"] = int(n_rtiles)
+    if _want("rasterize"):
+        t0 = time.time()
+        n_rtiles = ops.rasterize_points(derive_points(SF_DIR), res_deg=5.0, tile_px=64).count()
+        timings["rasterize"] = time.time() - t0
+        extra["raster_tiles"] = int(n_rtiles)
 
     # --- as-of feature join over the events log ---
     # inputs staged untimed (same policy as the image corpus above): the
     # timed region is the JOIN, not the upstream filter/aggregate pipelines
-    from ray.data.aggregate import Sum as _Sum
+    if _want("asof_join"):
+        from ray.data.aggregate import Sum as _Sum
 
-    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
-                         columns=["event_id", "user_id", "ts", "event_type", "value"])
-    left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"]).materialize()
-    right = ev.filter(expr="event_type == 'click'").groupby(["user_id", "ts"]).aggregate(
-        _Sum("value", alias_name="click_value")
-    ).materialize()
-    t0 = time.time()
-    ops.asof_join(left, right, on="ts", by="user_id", n_parts=64).count()
-    timings["asof_join"] = time.time() - t0
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "event_type", "value"])
+        left = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"]).materialize()
+        right = ev.filter(expr="event_type == 'click'").groupby(["user_id", "ts"]).aggregate(
+            _Sum("value", alias_name="click_value")
+        ).materialize()
+        t0 = time.time()
+        ops.asof_join(left, right, on="ts", by="user_id", n_parts=64).count()
+        timings["asof_join"] = time.time() - t0
 
     # --- ANN cosine top-k ---
-    import pyarrow.parquet as pq
+    if _want("ann_topk"):
+        import pyarrow.parquet as pq
 
-    head = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas().head(16)
-    q_ids = head["vec_id"].to_numpy()
-    q_mat = np.stack(head["embedding"].to_numpy())
-    t0 = time.time()
-    ann.ann_brute_topk(
-        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
-        q_ids, q_mat, k=10, concurrency=(2, pool),
-    ).count()
-    timings["ann_topk"] = time.time() - t0
+        head = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas().head(16)
+        q_ids = head["vec_id"].to_numpy()
+        q_mat = np.stack(head["embedding"].to_numpy())
+        t0 = time.time()
+        ann.ann_brute_topk(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            q_ids, q_mat, k=10, concurrency=(2, pool),
+        ).count()
+        timings["ann_topk"] = time.time() - t0
 
     ray.shutdown()
 
@@ -208,7 +224,14 @@ def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
             "hw_efficiency_ceiling": round(1.0 / slowdown, 3)}
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
+    """Noise-robust strong-scaling measurement: lo- and hi-parallelism runs
+    are INTERLEAVED (lo,hi × rounds) so any drift in the shared box's state
+    hits both levels alike, the pure-compute hardware ceiling is probed
+    between every round, and the reported efficiency is best-of-N per level
+    (VM noise is strictly additive, so the min is each level's honest
+    capability). Scaling runs execute only the headline warp+tile pipeline."""
+
     def run(ncpu: int) -> dict:
         # heavier per-image work for the scaling criterion so compute dominates
         # Ray's fixed per-stage latencies at both parallelism levels
@@ -217,6 +240,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         env.setdefault("GRAFT_BENCH_FILTER", "bicubic")
         env.setdefault("GRAFT_BENCH_IMAGES", "3072")
         env.setdefault("GRAFT_BENCH_DIST_AGG", "1")
+        env.setdefault("GRAFT_BENCH_ONLY", "warp_tile")
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -225,30 +249,30 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-2 per level: VM noise (page cache, scheduler) is strictly
-    # additive, so the min is the honest estimate of each level's capability
-    runs_lo = [run(lo), run(lo)]
-    runs_hi = [run(hi), run(hi)]
+    runs_lo, runs_hi, ceilings = [], [], []
+    for _ in range(rounds):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+        ceilings.append(_hw_ceiling(lo, hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    ceiling = _hw_ceiling(lo, hi)
+    ceil_vals = sorted(c["hw_efficiency_ceiling"] for c in ceilings)
+    ceil_med = ceil_vals[len(ceil_vals) // 2]
     return {
         "metric": f"scaling efficiency (headline warp+tile), num_cpus {lo} -> {hi}",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"images_per_sec_{lo}": r_lo["images_per_sec"],
         f"images_per_sec_{hi}": r_hi["images_per_sec"],
-        f"pip_rows_per_sec_{lo}": r_lo["pip_rows_per_sec"],
-        f"pip_rows_per_sec_{hi}": r_hi["pip_rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        **ceiling,
-        "efficiency_vs_hw_ceiling": round(eff / ceiling["hw_efficiency_ceiling"], 3),
+        "hw_efficiency_ceiling": ceil_med,
+        "hw_efficiency_ceilings_per_round": ceil_vals,
+        "efficiency_vs_hw_ceiling": round(eff / ceil_med, 3),
         f"all_runs_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_runs_sec_{hi}": [r["value"] for r in runs_hi],
-        f"queries_{lo}": r_lo["queries"],
-        f"queries_{hi}": r_hi["queries"],
+        "interleaved": True,
         "sf": r_lo["sf"],
     }
 

@@ -2074,38 +2074,42 @@ def q_ann_neardup_components(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Driver-sampling rotation: the correctness driver gates the FIRST 50 queries
-# only. Round 2 sampled the 50 below, leaving the rest on local-gate evidence
-# only — so rotate: everything the round-2 driver did NOT sample (plus all
-# round-3 additions) comes first, the round-2-sampled 50 fill the tail. Every
-# query keeps its oracle; only dict insertion order changes.
+# only. Round 3 sampled the 50 below (CORRECTNESS_r03.json), so rotate again:
+# everything the round-3 driver did NOT sample — all projection forwards and
+# round-trips, the vincenty/karney oracles, the text suite, the dedup suite,
+# cell/salted counts (whose merge strategy changed this round) — plus the
+# round-4 additions comes first; the round-3-sampled 50 fill the tail, which
+# still places ~13 of them (several warp/media rows-only entries among them)
+# inside the new first 50. Every query keeps its oracle; only dict insertion
+# order changes.
 # ---------------------------------------------------------------------------
 
-_SAMPLED_R02 = [
-    "project_mercator_sphere_fwd", "project_mercator_ell_fwd",
-    "project_tmerc_sphere_fwd", "project_lcc_sphere_fwd",
-    "project_albers_sphere_fwd", "project_laea_sphere_fwd",
-    "project_winkel_fwd", "project_polyconic_sphere_fwd",
-    "project_stereographic_fwd", "project_robinson_fwd",
-    "project_tmerc_sphere_roundtrip", "project_mercator_ell_roundtrip",
-    "project_lcc_ell_roundtrip", "project_albers_ell_roundtrip",
-    "project_laea_ell_roundtrip", "project_polyconic_ell_roundtrip",
-    "project_winkel_roundtrip", "project_robinson_roundtrip",
-    "project_stereographic_roundtrip", "datum_shift_wgs84_nad27",
-    "geodesic_haversine_pairs", "geodesic_distance_matrix",
-    "forward_geodesic_sphere", "forward_geodesic_vincenty",
-    "vincenty_inverse_matrix", "cell_assign_counts", "salted_cell_counts",
-    "pip_join_boxes", "geofence_customers_near_suppliers",
-    "rasterize_density_tiles", "polygon_area_nation_boxes",
-    "knn_customers_suppliers", "knn_join_large_customers_suppliers",
-    "dedup_exact", "text_token_count", "text_token_count_bpe",
-    "text_quality_scores", "text_langid", "text_fingerprint",
-    "dedup_simhash", "dedup_simhash_neardups", "dedup_minhash_lsh",
-    "dedup_verified_neardups", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_cosine_neardup", "agg_lineitem_pricing", "join_orders_per_nation",
-    "sort_top_orders", "topk_orders_per_priority",
+_SAMPLED_R03 = [
+    "forward_geodesic_karney", "events_hourly_window",
+    "filter_high_value_orders", "warp_tile_pipeline", "png_ingest_warp_tile",
+    "jpeg_ingest_warp_tile", "flagship_cells", "warp_tile_pyramid",
+    "forward_geodesic_fixed_angle", "dedup_components", "dedup_phash_images",
+    "warp_tiled_mosaic", "media_audio_features", "media_wav_features",
+    "media_video_frame_sample", "project_albers_ell_fwd",
+    "project_lcc_ell_fwd", "window_tumbling_15m", "window_sliding_30m_hop15m",
+    "window_sessions", "pip_join_large_boxes", "ann_cosine_neardup_lsh",
+    "events_json_extract", "range_join_price_bands",
+    "asof_join_purchase_click", "hll_distinct_custkeys",
+    "quantiles_extendedprice", "flagship_partitioned_resume",
+    "anti_join_customers_no_450k_order", "semi_join_customers_with_orders",
+    "deterministic_sample_10pct", "stratified_sample_by_priority",
+    "group_quantiles_price_by_priority", "warp_projected_source",
+    "ann_neardup_components", "project_mercator_sphere_fwd",
+    "project_mercator_ell_fwd", "project_tmerc_sphere_fwd",
+    "project_lcc_sphere_fwd", "project_albers_sphere_fwd",
+    "project_laea_sphere_fwd", "project_winkel_fwd",
+    "project_polyconic_sphere_fwd", "project_stereographic_fwd",
+    "project_robinson_fwd", "project_tmerc_sphere_roundtrip",
+    "project_mercator_ell_roundtrip", "project_lcc_ell_roundtrip",
+    "project_albers_ell_roundtrip", "project_laea_ell_roundtrip",
 ]
 
-_rotated = {k: QUERIES[k] for k in QUERIES if k not in _SAMPLED_R02}
-_rotated.update({k: QUERIES[k] for k in _SAMPLED_R02 if k in QUERIES})
+_rotated = {k: QUERIES[k] for k in QUERIES if k not in _SAMPLED_R03}
+_rotated.update({k: QUERIES[k] for k in _SAMPLED_R03 if k in QUERIES})
 QUERIES.clear()
 QUERIES.update(_rotated)
