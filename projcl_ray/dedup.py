@@ -612,15 +612,16 @@ _SHIFTS64 = np.arange(64, dtype=np.uint64)
 
 def _simhash_batch(texts: list[str]) -> np.ndarray:
     """Vectorized SimHash for many documents: ONE flat token-hash array for
-    the whole batch (md5 per *unique* token via the shared cache), bit votes
-    summed per-document with ``np.add.reduceat`` — no per-token Python in the
-    vote loop. Token hash = DuckDB md5_number_upper(tok), so the operator has
-    an exact SQL oracle."""
-    from .text import md5_token_hashes
+    the whole batch, bit votes summed per-document with ``np.add.reduceat`` —
+    no per-token Python in the vote loop. Default token hash = DuckDB
+    md5_number_upper(tok) (md5 per *unique* token via the shared cache), so
+    the operator has an exact SQL oracle; PROJCL_TOKEN_HASH=fast swaps in
+    the fully-vectorized production hash (text.fast_token_hashes)."""
+    from .text import token_hashes
 
     toks = [t.split() for t in texts]
     lens = np.array([len(t) for t in toks], np.int64)
-    flat = md5_token_hashes([w for ts in toks for w in ts])
+    flat = token_hashes([w for ts in toks for w in ts])
     acc = np.zeros((len(texts), 64), np.int64)
     if flat.size:
         votes = 2 * ((flat[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64) - 1

@@ -370,3 +370,47 @@ def test_dup_components_preserves_passthrough_schema(ray_session):
     assert list(df["component_id"]) == [0, 1, 2, 1, 1]
     assert list(df["flag"]) == [True, False, True, False, True]
     assert list(df["score"]) == [0.5, 1.5, 2.5, 3.5, 4.5]
+
+
+def test_fast_token_hashes_quality_and_flag():
+    """Production (non-oracle) vectorized token hash: deterministic, collision-
+    free on a large vocab, robust to empty/long/NUL/unicode tokens, ~uniform
+    bits, and the TOKEN_HASH_IMPL flag swaps it into simhash/fingerprint."""
+    import numpy as np
+    from projcl_ray import text
+
+    toks = [f"word{i}" for i in range(50_000)] + ["ab", "ab\x00", "", "a" * 4000, "日本語テスト"]
+    h = text.fast_token_hashes(toks)
+    assert h.dtype == np.uint64 and h.shape == (len(toks),)
+    assert (text.fast_token_hashes(toks) == h).all()  # deterministic
+    assert len(np.unique(h[:50_000])) == 50_000  # no collisions on the vocab
+    assert h[50_000] != h[50_001]  # "ab" vs "ab\0": padding can't collide
+    bits = ((h[:50_000, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    assert np.abs(bits.mean(axis=0) - 0.5).max() < 0.02  # ~uniform bit mix
+
+    # single-character avalanche ≈ 32/64 bits
+    h2 = text.fast_token_hashes([f"wore{i}" for i in range(50_000)])
+    ham = dedup.popcount64(h[:50_000] ^ h2)
+    assert 30.0 < ham.mean() < 34.0
+
+    # flag: simhash still separates a planted near-dup from an unrelated doc
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(5000)]
+    doc = [rng.choice(vocab) for _ in range(300)]
+    near = list(doc); near[5] = "changed"; near[100] = "words"
+    far = [rng.choice(vocab) for _ in range(300)]
+    old = text.TOKEN_HASH_IMPL
+    try:
+        text.TOKEN_HASH_IMPL = "fast"
+        s = dedup._simhash_batch([" ".join(doc), " ".join(near), " ".join(far)])
+        assert dedup.hamming64(int(s[0]), int(s[1])) <= 6
+        assert dedup.hamming64(int(s[0]), int(s[2])) >= 20
+        fp = text.fingerprint_batch([" ".join(doc), " ".join(doc), " ".join(far)])
+        assert fp[0] == fp[1] != fp[2]
+    finally:
+        text.TOKEN_HASH_IMPL = old
+    # default path unchanged (oracle contract): md5 replica
+    import hashlib
+    exp = int.from_bytes(hashlib.md5(b"word1").digest()[:8], "little")
+    assert int(text.token_hashes(["word1"])[0]) == exp
