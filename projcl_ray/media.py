@@ -1,6 +1,8 @@
-"""Multimodal (audio/video) column plumbing — Ray-side schema, batch sizing and
-actor signatures are REAL; the codec step is an explicit stub because this
-container ships no media libraries (same policy as png/jpeg in images.py).
+"""Multimodal (audio/video) column plumbing — Ray-side schema, batch sizing
+and actor signatures are real, and so are the codecs for wav/flac audio and
+MJPEG-AVI video (in-repo, spec-implemented — same policy as png/jpeg in
+images.py); only the DSP-heavy formats (mp3, mp4/webm) remain explicit
+stubs because this container ships no media libraries.
 
 Layout conventions:
 - audio rows:  (clip_id: string, bytes: binary, sample_rate: int32,
@@ -10,7 +12,9 @@ Layout conventions:
   decode (DSP-heavy, requires a codec library).
 - video rows:  (video_id: string, bytes: binary, w: int32, h: int32,
   n_frames: int32, fmt: string) — fmt="rawv" = n_frames raw RGBA frames
-  concatenated; "mp4" stub.
+  concatenated; "avi" = MJPEG-in-AVI (in-repo container codec,
+  projcl_ray/avi.py, frames via the in-repo JPEG codec); "mp4"/"webm"
+  stubs (DSP-heavy inter-frame codecs).
 
 Feature extraction runs as small-batch ``map_batches`` stages (media rows are
 wide, so batch_size stays small and blocks narrow — same rule as images).
@@ -107,10 +111,20 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 def decode_video_frames(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
     if fmt == "rawv":
         return np.frombuffer(buf, dtype=np.uint8).reshape(n_frames, h, w, 4)
+    if fmt == "avi":  # MJPEG-in-AVI, in-repo container codec (avi.py)
+        from .avi import decode_avi_mjpeg
+
+        frames, _fps = decode_avi_mjpeg(buf)
+        if frames.shape[:3] != (n_frames, h, w):
+            raise ValueError(
+                f"AVI decodes to {frames.shape[:3]}, metadata says "
+                f"{(n_frames, h, w)}")
+        return frames
     if fmt in ("mp4", "webm"):
         raise NotImplementedError(
             f"{fmt} decode requires a video codec library not present in this "
-            "environment; use fmt='rawv' (concatenated raw RGBA frames)."
+            "environment; use fmt='rawv' (concatenated raw RGBA frames) or "
+            "fmt='avi' (in-repo MJPEG-AVI container codec)."
         )
     raise ValueError(f"unknown video format {fmt!r}")
 
@@ -195,18 +209,24 @@ def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def synth_video_table(n: int, seed: int = 42, w: int = 32, h: int = 24,
-                      n_frames: int = 20) -> pa.Table:
+                      n_frames: int = 20, fmt: str = "rawv") -> pa.Table:
     from .images import synth_pixels
 
     rows = {"video_id": [], "bytes": [], "w": [], "h": [], "n_frames": [], "fmt": []}
     for i in range(n):
         frames = np.stack([synth_pixels(seed + i * 100 + f, w, h) for f in range(n_frames)])
+        if fmt == "avi":
+            from .avi import encode_avi_mjpeg
+
+            blob = encode_avi_mjpeg(frames, fps=10, quality=92)
+        else:
+            blob = frames.tobytes()
         rows["video_id"].append(f"vid{i:06d}")
-        rows["bytes"].append(frames.tobytes())
+        rows["bytes"].append(blob)
         rows["w"].append(w)
         rows["h"].append(h)
         rows["n_frames"].append(n_frames)
-        rows["fmt"].append("rawv")
+        rows["fmt"].append(fmt)
     return pa.table(
         {
             "video_id": pa.array(rows["video_id"], pa.string()),

@@ -1582,6 +1582,17 @@ def q_video(sf_dir: str):
     return sample_video_frames(rd.from_arrow(synth_video_table(4)), every_n=5)
 
 
+@q("media_mjpeg_frame_sample")  # rows-only
+def q_video_mjpeg(sf_dir: str):
+    """Same frame-sampling stage over MJPEG-in-AVI clips — the container and
+    per-frame JPEG decode both run through the in-repo codecs (avi.py,
+    jpeg.py), i.e. a real compressed-video ingest path end-to-end."""
+    from .media import sample_video_frames, synth_video_table
+
+    return sample_video_frames(
+        rd.from_arrow(synth_video_table(4, fmt="avi")), every_n=5)
+
+
 # ---------------------------------------------------------------------------
 # Ellipsoidal conic forwards (closed-form → SQL-expressible with inlined
 # host-precomputed constants, exercising the qsfn/tsfn ellipsoidal paths)

@@ -275,3 +275,53 @@ def test_flac_features_query_matches_wav(ray_session):
     assert len(a) == len(b) == 32
     for col in ("rms", "peak", "zcr", "duration_s"):
         np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy())
+
+
+def test_avi_mjpeg_codec_roundtrip():
+    """MJPEG-AVI container round-trip: dimensions/fps from the headers,
+    every frame decodes, pixels match the sources at JPEG fidelity, and the
+    encode is deterministic. A dropped (zero-length) frame chunk repeats the
+    previous frame, matching player behavior."""
+    from projcl_ray import avi
+    from projcl_ray.images import synth_pixels
+
+    frames = np.stack([synth_pixels(i, 48, 32) for i in range(6)])
+    buf = avi.encode_avi_mjpeg(frames, fps=12, quality=92)
+    assert avi.encode_avi_mjpeg(frames, fps=12, quality=92) == buf
+    dec, fps = avi.decode_avi_mjpeg(buf)
+    assert fps == 12.0 and dec.shape == frames.shape
+    mse = ((dec[..., :3].astype(float) - frames[..., :3].astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30.0  # JPEG-lossy fidelity
+
+    # zero-length '00dc' chunk (dropped frame) repeats the previous frame
+    import struct
+    movi_at = buf.find(b"movi")
+    first_sz = struct.unpack_from("<I", buf, movi_at + 8)[0]
+    skip = movi_at + 4 + 8 + first_sz + (first_sz & 1)
+    dropped = buf[:skip] + b"00dc" + struct.pack("<I", 0) + buf[skip:]
+    dec2, _ = avi.decode_avi_mjpeg(dropped)
+    assert dec2.shape[0] == 7
+    np.testing.assert_array_equal(dec2[1], dec2[0])
+
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(b"RIFFxxxxWAVE")
+
+
+def test_avi_frame_sampling_matches_rawv(ray_session):
+    """sample_video_frames over fmt="avi" clips yields the same rows as the
+    rawv path on the same synthetic frames, pixel-equal up to JPEG loss."""
+    import ray.data as rd
+
+    raw_tbl = synth_video_table(3, n_frames=20)
+    avi_tbl = synth_video_table(3, n_frames=20, fmt="avi")
+    a = sample_video_frames(rd.from_arrow(raw_tbl), every_n=5).to_pandas()
+    b = sample_video_frames(rd.from_arrow(avi_tbl), every_n=5).to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert len(b) == 3 * 4
+    for i in range(len(a)):
+        pa_ = decode_image(a.iloc[i]["bytes"], 32, 24, "raw").astype(float)
+        pb_ = decode_image(b.iloc[i]["bytes"], 32, 24, "raw").astype(float)
+        mse = ((pa_[..., :3] - pb_[..., :3]) ** 2).mean()
+        assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30.0
