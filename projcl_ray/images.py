@@ -51,10 +51,10 @@ def _pil():
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """bytes → (h, w, 4) uint8. ``raw`` is the first-class format
-    (uncompressed RGBA, always available); png/jpeg decode via PIL when
-    importable (libjpeg/zlib-speed — the production path on a real cluster),
-    else via the in-repo pure-Python codecs (always available, the
-    determinism oracle)."""
+    (uncompressed RGBA, always available); png/jpeg/gif/bmp decode via PIL
+    when importable (libjpeg/zlib-speed — the production path on a real
+    cluster), else via the in-repo pure-Python codecs (always available,
+    the determinism oracle)."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, CHANNELS)
     if fmt == "rawrgb":  # 3-channel raw → opaque RGBA (reference accepts any
@@ -69,7 +69,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = lum
         out[..., 3] = 255
         return out
-    if fmt in ("png", "jpeg"):
+    if fmt in ("png", "jpeg", "gif", "bmp"):
         pil = _pil()
         if pil is not None:
             import io
@@ -80,6 +80,14 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             from . import png as _png
 
             return _png.decode_png(buf)
+        if fmt == "gif":
+            from . import gif as _gif
+
+            return _gif.decode_gif(buf)
+        if fmt == "bmp":
+            from . import bmp as _bmp
+
+            return _bmp.decode_bmp(buf)
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(buf)
@@ -87,10 +95,11 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
-    """(h, w, 4) uint8 → bytes. ``raw``, ``png`` and ``jpeg`` always
-    available via the in-repo pure-Python codecs (png: pass
+    """(h, w, 4) uint8 → bytes. ``raw``, ``png``, ``jpeg``, ``gif`` and
+    ``bmp`` always available via the in-repo pure-Python codecs (png: pass
     ``filter_type=4`` for ~2× smaller files; jpeg: ``quality=``,
-    ``subsample=`` — lossy, alpha dropped)."""
+    ``subsample=`` — lossy, alpha dropped; gif: palette format, lossless
+    only for <=255 distinct colors — quantize first)."""
     if fmt == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
     if fmt == "png":
@@ -101,6 +110,14 @@ def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
         from . import jpeg as _jpeg
 
         return _jpeg.encode_jpeg(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
+    if fmt == "gif":
+        from . import gif as _gif
+
+        return _gif.encode_gif(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
+    if fmt == "bmp":
+        from . import bmp as _bmp
+
+        return _bmp.encode_bmp(np.ascontiguousarray(arr, dtype=np.uint8))
     raise NotImplementedError(f"{fmt} encode not available in this environment")
 
 

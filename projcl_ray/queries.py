@@ -1320,6 +1320,42 @@ def q_warp_tiles(sf_dir: str):
     )
 
 
+@q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+def q_gif_bmp_ingest(sf_dir: str):
+    """Mixed palette/DIB ingest: the images table stored alternately as GIF
+    (64-color-quantized — GIF is a palette format; alternate files are
+    interlaced) and BMP (24-bit DIB), decoded by the in-repo codecs
+    (gif.py, bmp.py) → warp → tile → per-tile phash. Both formats are
+    lossless here, so tests pin bit-equality against the raw path on the
+    same quantized pixels."""
+    from .images import decode_image, encode_image, phash64, synth_images_table
+
+    rows = synth_images_table(24, seed=42).to_pylist()
+    for i, r in enumerate(rows):
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        if i % 2 == 0:
+            quant = ((img >> 6) << 6).astype("uint8")  # <=64 colors for GIF
+            quant[..., 3] = 255
+            r["bytes"] = encode_image(quant, "gif", interlace=bool(i % 4))
+            r["fmt"] = "gif"
+        else:
+            r["bytes"] = encode_image(img, "bmp")
+            r["fmt"] = "bmp"
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8)
+
+    def tile_hash(batch: pa.Table) -> pa.Table:
+        hs = [phash64(decode_image(b, 64, 64, "raw"))
+              for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
+            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
+        })
+
+    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+
+
 @q("png_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
 def q_png_ingest(sf_dir: str):
     """Compressed-ingest pipeline: the images table stored as PNG (in-repo

@@ -553,3 +553,127 @@ def test_jpeg_progressive_matches_baseline():
     assert b"\xFF\xC2" in pb and pb.count(b"\xFF\xDA") >= 7
     assert J.encode_jpeg(synth_pixels(3, 40, 40), quality=90,
                          progressive=True) == pb  # deterministic
+
+
+def test_gif_codec_roundtrip_modes():
+    """In-repo GIF codec: lossless round-trip for palette-sized images across
+    sequential/interlaced, transparency (incl. opaque black present), LZW
+    12-bit table overflow, animation composition, and the >255-color reject."""
+    import numpy as np
+
+    from projcl_ray import gif
+    from projcl_ray.images import synth_pixels
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    idx = rng.integers(0, 40, (33, 47))
+    img = np.empty((33, 47, 4), np.uint8)
+    img[..., :3] = pal[idx]
+    img[..., 3] = 255
+
+    for interlace in (False, True):
+        buf = gif.encode_gif(img, interlace=interlace)
+        assert gif.encode_gif(img, interlace=interlace) == buf  # deterministic
+        np.testing.assert_array_equal(gif.decode_gif(buf), img)
+
+    # transparency with opaque black in the palette (slot-alias regression)
+    img2 = img.copy()
+    img2[..., :3][idx[..., None].repeat(3, -1) < 5] = 0
+    img2[5:10, 5:10, 3] = 0
+    dec = gif.decode_gif(gif.encode_gif(img2))
+    np.testing.assert_array_equal(dec[..., 3] > 0, img2[..., 3] >= 128)
+    opq = img2[..., 3] >= 128
+    np.testing.assert_array_equal(dec[opq][:, :3], img2[opq][:, :3])
+
+    # animation: two frames compose on the logical screen, delays preserved
+    f1 = img.copy()
+    f1[0:8, 0:8, :3] = pal[7]
+    frames, delays = gif.decode_gif_frames(
+        gif.encode_gif(np.stack([img, f1]), delays_ms=[50, 120]))
+    assert delays == [50, 120]
+    np.testing.assert_array_equal(frames[0], img)
+    np.testing.assert_array_equal(frames[1], f1)
+
+    # LZW table overflow (forces the clear/reset path and 12-bit codes)
+    big_pal = rng.integers(0, 256, (250, 3), dtype=np.uint8)
+    bidx = rng.integers(0, 250, (200, 300))
+    big = np.empty((200, 300, 4), np.uint8)
+    big[..., :3] = big_pal[bidx]
+    big[..., 3] = 255
+    np.testing.assert_array_equal(gif.decode_gif(gif.encode_gif(big)), big)
+
+    grad = np.zeros((30, 30, 4), np.uint8)
+    grad[..., 0] = (np.arange(900) % 256).reshape(30, 30)
+    grad[..., 1] = (np.arange(900) // 256).reshape(30, 30)
+    grad[..., 3] = 255
+    with pytest.raises(ValueError):
+        gif.encode_gif(grad)
+
+
+def test_bmp_codec_roundtrip_variants():
+    """In-repo BMP codec: 24-bit encode/decode is exact; top-down and 32-bit
+    BGRA files decode; RLE is rejected."""
+    import struct
+
+    import numpy as np
+
+    from projcl_ray import bmp
+    from projcl_ray.images import synth_pixels
+
+    img = synth_pixels(3, 41, 30)  # odd width exercises row padding
+    buf = bmp.encode_bmp(img)
+    assert bmp.encode_bmp(img) == buf
+    dec = bmp.decode_bmp(buf)
+    np.testing.assert_array_equal(dec[..., :3], img[..., :3])
+    assert (dec[..., 3] == 255).all()
+
+    # hand-built top-down 32-bit BGRA file
+    h, w = 5, 7
+    rgba = synth_pixels(9, w, h)
+    bgra = rgba[..., [2, 1, 0, 3]].copy()
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, w * h * 4,
+                       2835, 2835, 0, 0)
+    off = 14 + len(info)
+    f32 = struct.pack("<2sIHHI", b"BM", off + w * h * 4, 0, 0, off) + info + bgra.tobytes()
+    np.testing.assert_array_equal(bmp.decode_bmp(f32), rgba)
+
+    rle = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(rle)
+
+
+def test_gif_bmp_ingest_warp_tile_matches_raw_path(ray_session):
+    """GIF (quantized, lossless) and BMP ingest warp to bit-identical tiles
+    vs the raw path on the same pixels — same contract as the png test."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops
+    from projcl_ray.images import decode_image, encode_image, synth_images_table
+    from projcl_ray.proj import ProjParams
+
+    rows = synth_images_table(8, seed=42).to_pylist()
+    raw_rows, enc_rows = [], []
+    for i, r in enumerate(rows):
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        if i % 2 == 0:
+            img = ((img >> 6) << 6).astype("uint8")
+            img[..., 3] = 255
+            enc, fmt = encode_image(img, "gif", interlace=bool(i % 4)), "gif"
+        else:
+            enc, fmt = encode_image(img, "bmp"), "bmp"
+        r_raw = dict(r); r_raw["bytes"] = img.tobytes()
+        r_enc = dict(r); r_enc["bytes"] = enc; r_enc["fmt"] = fmt
+        raw_rows.append(r_raw)
+        enc_rows.append(r_enc)
+    params = ProjParams(spheroid="WGS_84")
+    a = ops.warp_and_tile(rd.from_arrow(pa.Table.from_pylist(raw_rows)),
+                          "mercator", params, tile_size=32, batch_size=4).to_pandas()
+    b = ops.warp_and_tile(rd.from_arrow(pa.Table.from_pylist(enc_rows)),
+                          "mercator", params, tile_size=32, batch_size=4).to_pandas()
+    key = ["image_id", "tile_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
