@@ -69,7 +69,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = lum
         out[..., 3] = 255
         return out
-    if fmt in ("png", "jpeg", "gif", "bmp"):
+    if fmt in ("png", "jpeg", "gif", "bmp", "tiff"):
         pil = _pil()
         if pil is not None:
             import io
@@ -88,6 +88,10 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             from . import bmp as _bmp
 
             return _bmp.decode_bmp(buf)
+        if fmt == "tiff":
+            from . import tiff as _tiff
+
+            return _tiff.decode_tiff(buf)
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(buf)
@@ -118,6 +122,10 @@ def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
         from . import bmp as _bmp
 
         return _bmp.encode_bmp(np.ascontiguousarray(arr, dtype=np.uint8))
+    if fmt == "tiff":
+        from . import tiff as _tiff
+
+        return _tiff.encode_tiff(np.ascontiguousarray(arr, dtype=np.uint8), **png_kw)
     raise NotImplementedError(f"{fmt} encode not available in this environment")
 
 

@@ -465,6 +465,51 @@ def warp_and_tile(
     return ds.map_batches(_warp, batch_format="pyarrow", batch_size=batch_size)
 
 
+def ingest_geotiff(ds: ray.data.Dataset, *, src_datum: str = "WGS_84",
+                   batch_size: int | None = 16) -> ray.data.Dataset:
+    """Real-world raster ingest: rows of bare GeoTIFF blobs
+    ``(image_id: string, bytes: binary[, caption])`` → the standard images
+    schema consumed by :func:`warp_and_tile`. Pixels decode to raw RGBA and
+    the north-up georeference (lon0/lat0/px_deg) is recovered from the
+    embedded GeoTIFF ModelPixelScale/ModelTiepoint tags (tiff.py) — no
+    sidecar georeference columns, exactly how georeferenced rasters arrive
+    from the wild. Runs as a stateless vectorized map_batches stage; media
+    rows are wide, so batch_size stays small (same rule as warp)."""
+
+    def _ingest(batch: pa.Table) -> pa.Table:
+        from .tiff import decode_tiff_geo, georef_from_tags
+
+        ids = batch["image_id"].to_pylist()
+        caps = (batch["caption"].to_pylist() if "caption" in batch.column_names
+                else [""] * len(ids))
+        bufs, ws, hs, lon0s, lat0s, pxds = [], [], [], [], [], []
+        for iid, blob in zip(ids, batch["bytes"].to_pylist()):
+            rgba, geo = decode_tiff_geo(blob)
+            if geo is None:
+                raise ValueError(f"{iid}: GeoTIFF georeference tags missing")
+            gr = georef_from_tags(geo)
+            bufs.append(rgba.tobytes())
+            hs.append(rgba.shape[0])
+            ws.append(rgba.shape[1])
+            lon0s.append(gr.lon0)
+            lat0s.append(gr.lat0)
+            pxds.append(gr.px_deg)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "lon0": pa.array(lon0s, pa.float64()),
+            "lat0": pa.array(lat0s, pa.float64()),
+            "px_deg": pa.array(pxds, pa.float64()),
+            "src_datum": pa.array([src_datum] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(_ingest, batch_format="pyarrow", batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # PIP join & kNN (broadcast small side; shuffle path keyed on cell_id)
 # ---------------------------------------------------------------------------

@@ -1320,6 +1320,38 @@ def q_warp_tiles(sf_dir: str):
     )
 
 
+@q("geotiff_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+def q_geotiff_ingest(sf_dir: str):
+    """GeoTIFF ingest end-to-end: bare georeferenced-raster blobs (pixels +
+    embedded ModelPixelScale/ModelTiepoint tags, NO sidecar georeference
+    columns) → ops.ingest_geotiff (in-repo tiff.py codec recovers GeoRef
+    from the tags) → warp → tile → per-tile phash. Deflate is lossless and
+    the tags are float64, so tests pin tile bit-equality vs the raw path."""
+    from .images import decode_image, phash64, synth_images_table
+    from .tiff import GeoTags, encode_tiff
+
+    rows = synth_images_table(24, seed=42).to_pylist()
+    blobs = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        geo = GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0, r["lon0"], r["lat0"])
+        blobs.append({"image_id": r["image_id"], "caption": r["caption"],
+                      "bytes": encode_tiff(img, geo=geo)})
+    ds = ops.ingest_geotiff(rd.from_arrow(pa.Table.from_pylist(blobs)))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8)
+
+    def tile_hash(batch: pa.Table) -> pa.Table:
+        hs = [phash64(decode_image(b, 64, 64, "raw"))
+              for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
+            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
+        })
+
+    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+
+
 @q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
 def q_gif_bmp_ingest(sf_dir: str):
     """Mixed palette/DIB ingest: the images table stored alternately as GIF

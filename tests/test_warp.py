@@ -677,3 +677,101 @@ def test_gif_bmp_ingest_warp_tile_matches_raw_path(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
+
+
+def test_tiff_codec_roundtrip_and_geotags():
+    """In-repo TIFF codec: none/deflate/lzw strips round-trip exactly for
+    gray/RGB/RGBA; TIFF-variant LZW survives 12-bit growth + re-clear;
+    GeoTIFF ModelPixelScale/ModelTiepoint tags round-trip to a GeoRef;
+    PackBits and MinIsWhite decode; unsupported compressions reject."""
+    import struct
+
+    import numpy as np
+
+    from projcl_ray import tiff
+    from projcl_ray.images import synth_pixels
+
+    img = synth_pixels(5, 97, 61)  # odd dims exercise strip tails
+    for comp in ("none", "deflate", "lzw"):
+        buf = tiff.encode_tiff(img, compression=comp)
+        assert tiff.encode_tiff(img, compression=comp) == buf  # deterministic
+        dec, geo = tiff.decode_tiff_geo(buf)
+        np.testing.assert_array_equal(dec, img)
+        assert geo is None
+    g8 = img[..., 0]
+    np.testing.assert_array_equal(tiff.decode_tiff(tiff.encode_tiff(g8))[..., 0], g8)
+    rgb = img[..., :3]
+    np.testing.assert_array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(rgb))[..., :3], rgb)
+
+    # LZW 12-bit code growth + re-clear (large, low-redundancy input)
+    big = synth_pixels(9, 300, 200)
+    np.testing.assert_array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(big, compression="lzw",
+                                          rows_per_strip=200)), big)
+
+    # GeoTIFF tags → GeoRef
+    gt = tiff.GeoTags(0.25, 0.25, 0.0, 0.0, -120.0, 45.0)
+    dec, geo = tiff.decode_tiff_geo(tiff.encode_tiff(img, geo=gt))
+    assert geo == gt
+    gr = tiff.georef_from_tags(geo)
+    assert (gr.lon0, gr.lat0, gr.px_deg) == (-120.0, 45.0, 0.25)
+    # non-zero tiepoint raster coords offset the origin
+    gr2 = tiff.georef_from_tags(tiff.GeoTags(0.5, 0.5, 2.0, 4.0, -120.0, 45.0))
+    assert (gr2.lon0, gr2.lat0) == (-121.0, 47.0)
+
+    # hand-built PackBits + MinIsWhite gray file
+    row = bytes([0xFD, 7, 2, 1, 2, 3])  # repeat 7 x4, literal 1,2,3 → 7 px
+    info = struct.pack("<2sHI", b"II", 42, 8)
+    entries = [
+        (256, 4, 1, struct.pack("<I", 7)), (257, 4, 1, struct.pack("<I", 1)),
+        (258, 3, 1, struct.pack("<HH", 8, 0)), (259, 3, 1, struct.pack("<HH", 32773, 0)),
+        (262, 3, 1, struct.pack("<HH", 0, 0)),
+        (273, 4, 1, None), (277, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 4, 1, struct.pack("<I", 1)), (279, 4, 1, struct.pack("<I", len(row))),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    for tag, typ, cnt, payload in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += struct.pack("<I", data_off) if payload is None else payload
+    f = info + ifd + struct.pack("<I", 0) + row
+    dec = tiff.decode_tiff(f)
+    np.testing.assert_array_equal(dec[0, :, 0], 255 - np.array([7, 7, 7, 7, 1, 2, 3]))
+
+    bad = tiff.encode_tiff(img, compression="none").replace(
+        struct.pack("<HHIHH", 259, 3, 1, 1, 0), struct.pack("<HHIHH", 259, 3, 1, 6, 0), 1)
+    with pytest.raises(NotImplementedError):
+        tiff.decode_tiff(bad)
+
+
+def test_geotiff_ingest_warp_tile_matches_raw_path(ray_session):
+    """ops.ingest_geotiff recovers the georeference from embedded GeoTIFF
+    tags; the downstream warp+tile output is bit-identical to the raw path
+    fed the same pixels and sidecar georeference columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops
+    from projcl_ray.images import decode_image, synth_images_table
+    from projcl_ray.proj import ProjParams
+    from projcl_ray.tiff import GeoTags, encode_tiff
+
+    tbl = synth_images_table(8, seed=42)
+    blobs = []
+    for r in tbl.to_pylist():
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        geo = GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0, r["lon0"], r["lat0"])
+        blobs.append({"image_id": r["image_id"], "caption": r["caption"],
+                      "bytes": encode_tiff(img, geo=geo)})
+    params = ProjParams(spheroid="WGS_84")
+    a = ops.warp_and_tile(rd.from_arrow(tbl), "mercator", params,
+                          tile_size=32, batch_size=4).to_pandas()
+    ingested = ops.ingest_geotiff(rd.from_arrow(pa.Table.from_pylist(blobs)))
+    b = ops.warp_and_tile(ingested, "mercator", params,
+                          tile_size=32, batch_size=4).to_pandas()
+    key = ["image_id", "tile_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
