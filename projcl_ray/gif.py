@@ -113,30 +113,35 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # (prefix_code, next_byte) → code keys: O(1) per pixel, no byte-string
+    # building (root codes are implicit: code == index value)
+    table: dict[tuple[int, int], int] = {}
     next_code = end + 1
     width = min_code_size + 1
     emit(clear, width)
-    prev = b""
+    prev_code = -1
     for b in indices.astype(np.uint8).tobytes():
-        cur = prev + bytes([b])
-        if cur in table:
-            prev = cur
+        if prev_code < 0:
+            prev_code = b
             continue
-        emit(table[prev], width)
+        hit = table.get((prev_code, b))
+        if hit is not None:
+            prev_code = hit
+            continue
+        emit(prev_code, width)
         if next_code < 4096:
-            table[cur] = next_code
+            table[(prev_code, b)] = next_code
             if next_code == (1 << width) and width < 12:
                 width += 1
             next_code += 1
         else:
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code_size + 1
-        prev = bytes([b])
-    if prev:
-        emit(table[prev], width)
+        prev_code = b
+    if prev_code >= 0:
+        emit(prev_code, width)
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)
