@@ -48,15 +48,70 @@ def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown audio format {fmt!r}")
 
 
-def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
-    """int16 PCM (1-D mono or (n, ch)) → RIFF/WAVE bytes (format 1, 16-bit).
-    Pure stdlib — deterministic output, no codec library."""
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law companding (ITU-T G.711; the Sun/CCITT reference
+# algorithm expressed as 256-entry decode LUTs and vectorized encoders) —
+# telephony-recorded WAVs in the wild commonly carry format codes 7/6.
+# ---------------------------------------------------------------------------
+
+def _ulaw_lut() -> np.ndarray:
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_lut() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_DEC = _ulaw_lut()
+_ALAW_DEC = _alaw_lut()
+# encoders: nearest-code via searchsorted over each LUT's sorted decode values
+_ULAW_ORDER = np.argsort(_ULAW_DEC, kind="stable").astype(np.uint8)
+_ULAW_SORTED = _ULAW_DEC[_ULAW_ORDER]
+_ALAW_ORDER = np.argsort(_ALAW_DEC, kind="stable").astype(np.uint8)
+_ALAW_SORTED = _ALAW_DEC[_ALAW_ORDER]
+
+
+def _compand_encode(pcm16: np.ndarray, sorted_vals: np.ndarray,
+                    order: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-neighbor companding: int16 → 8-bit code whose
+    decode value is closest to the input (ties toward the lower value)."""
+    x = pcm16.astype(np.int32)
+    hi = np.searchsorted(sorted_vals, x)
+    hi = np.clip(hi, 1, len(sorted_vals) - 1)
+    lo = hi - 1
+    pick = np.where(np.abs(sorted_vals[hi].astype(np.int32) - x)
+                    < np.abs(x - sorted_vals[lo].astype(np.int32)), hi, lo)
+    return order[pick]
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int, *, codec: str = "pcm16") -> bytes:
+    """int16 PCM (1-D mono or (n, ch)) → RIFF/WAVE bytes. ``codec``:
+    "pcm16" (format 1, 16-bit), "ulaw"/"alaw" (G.711 formats 7/6, 8-bit
+    companded). Pure stdlib+numpy — deterministic output, no codec library."""
     import struct
 
     pcm = np.ascontiguousarray(pcm, "<i2")
     ch = 1 if pcm.ndim == 1 else pcm.shape[1]
-    data = pcm.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    if codec == "pcm16":
+        fmt_code, bits, data = 1, 16, pcm.tobytes()
+    elif codec == "ulaw":
+        fmt_code, bits = 7, 8
+        data = _compand_encode(pcm.reshape(-1), _ULAW_SORTED, _ULAW_ORDER).tobytes()
+    elif codec == "alaw":
+        fmt_code, bits = 6, 8
+        data = _compand_encode(pcm.reshape(-1), _ALAW_SORTED, _ALAW_ORDER).tobytes()
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    bytes_per = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate,
+                      sample_rate * bytes_per, bytes_per, bits)
     return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
@@ -101,6 +156,10 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         v = (b3[:, 0].astype(np.int32) | (b3[:, 1].astype(np.int32) << 8)
              | (b3[:, 2].astype(np.int32) << 16))
         x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float32) / 8388608.0
+    elif audio_fmt == 7 and bits == 8:  # G.711 µ-law (one LUT gather)
+        x = _ULAW_DEC[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
+    elif audio_fmt == 6 and bits == 8:  # G.711 A-law
+        x = _ALAW_DEC[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
     else:
         raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
     if ch > 1:

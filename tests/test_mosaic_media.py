@@ -325,3 +325,36 @@ def test_avi_frame_sampling_matches_rawv(ray_session):
         pb_ = decode_image(b.iloc[i]["bytes"], 32, 24, "raw").astype(float)
         mse = ((pa_[..., :3] - pb_[..., :3]) ** 2).mean()
         assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30.0
+
+
+def test_wav_g711_ulaw_alaw():
+    """G.711 companded WAV (format codes 7/6): decode LUTs match the
+    canonical anchor values, container round-trips stay within the G.711
+    segment quantization (max step 1024 → error <= 512), and re-encoding a
+    decoded signal is idempotent."""
+    from projcl_ray import media
+
+    lut = media._ULAW_DEC
+    assert (lut[0xFF], lut[0x7F]) == (0, 0)
+    assert (lut[0x00], lut[0x80]) == (-32124, 32124)
+    alut = media._ALAW_DEC
+    assert (alut[0x55], alut[0xD5]) == (-8, 8)
+    assert (alut[0x2A], alut[0xAA]) == (-32256, 32256)
+
+    rng = np.random.default_rng(1)
+    pcm = (rng.uniform(-1, 1, 4000) * 30000).astype(np.int16)
+    for codec in ("ulaw", "alaw"):
+        buf = media.encode_wav(pcm, 8000, codec=codec)
+        x, sr = media.decode_wav(buf)
+        assert sr == 8000 and len(x) == len(pcm)
+        assert np.abs(x * 32768.0 - pcm).max() <= 512.0
+        # decode is a fixed point of encode∘decode (nearest-code companding)
+        again = media.encode_wav(np.round(x * 32768).astype(np.int16), 8000,
+                                 codec=codec)
+        assert again == buf
+        # and the features stage accepts it through fmt="wav"
+        feats = media.audio_features(
+            __import__("ray").data.from_items([{
+                "clip_id": "c0", "bytes": buf, "sample_rate": 8000,
+                "n_samples": len(pcm), "fmt": "wav"}])).to_pandas()
+        assert len(feats) == 1 and 0.0 < feats.iloc[0]["rms"] < 1.0
