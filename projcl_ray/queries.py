@@ -24,6 +24,7 @@ double), mirroring how the reference folds them into kernel args.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -1318,6 +1319,26 @@ def q_warp_tiles(sf_dir: str):
     return tiles.select_columns(
         ["image_id", "caption", "cell_id", "tile_col", "tile_row", "tile_idx", "w", "h"]
     )
+
+
+@q("geotiff_export_resume")  # rows-only (filesystem sink; parity in pytest)
+def q_geotiff_export(sf_dir: str):
+    """GeoTIFF export sink: images → one georeferenced .tif per row
+    (embedded ModelPixelScale/ModelTiepoint tags), then a second pass over
+    the same output dir proving the file-per-image sink resumes (every row
+    skipped). Returns the second run's manifest; pytest pins the re-ingest
+    round-trip bit-exactly."""
+    import shutil
+    import tempfile
+
+    from .images import synth_images_table
+    from .sources import write_geotiffs
+
+    out = os.path.join(tempfile.gettempdir(), "projcl_geotiff_export_q")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.from_arrow(synth_images_table(12, seed=42))
+    write_geotiffs(ds, out).materialize()  # first run writes all files
+    return write_geotiffs(ds, out)  # second run: all rows skipped=True
 
 
 @q("geotiff_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest

@@ -84,3 +84,70 @@ def read_tile_buckets(out_dir: str, cells: np.ndarray, *, n_buckets: int = 64) -
     files = [os.path.join(p, f) for p in paths for f in sorted(os.listdir(p))
              if f.endswith(".parquet")]
     return rd.read_parquet(files)
+
+
+def write_geotiffs(ds: rd.Dataset, out_dir: str, *, compression: str = "deflate",
+                   skip_existing: bool = True, batch_size: int | None = 16) -> rd.Dataset:
+    """GeoTIFF export sink: one ``<image_id>.tif`` per images-schema row
+    (raw RGBA pixels + lon0/lat0/px_deg), with the georeference embedded as
+    GeoTIFF ModelPixelScale/ModelTiepoint tags (tiff.py) — the inverse of
+    ops.ingest_geotiff, so exported rasters re-ingest with no sidecar
+    columns. File-per-image output is resumable: with ``skip_existing`` a
+    rerun skips rows whose file already exists (same contract as the
+    bucketed tile sink). Returns the manifest Dataset (image_id, path,
+    n_bytes, skipped) — consume it (write/iterate) to drive the export."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _export(batch: pa.Table) -> pa.Table:
+        from .images import decode_image
+        from .tiff import GeoTags, encode_tiff
+
+        ids = batch["image_id"].to_pylist()
+        paths, sizes, skipped = [], [], []
+        for i, iid in enumerate(ids):
+            path = os.path.join(out_dir, f"{iid}.tif")
+            paths.append(path)
+            if skip_existing and os.path.exists(path):
+                sizes.append(os.path.getsize(path))
+                skipped.append(True)
+                continue
+            row = {c: batch[c][i].as_py() for c in
+                   ("bytes", "w", "h", "fmt", "lon0", "lat0", "px_deg")}
+            img = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+            geo = GeoTags(row["px_deg"], row["px_deg"], 0.0, 0.0,
+                          row["lon0"], row["lat0"])
+            blob = encode_tiff(img, geo=geo, compression=compression)
+            tmp = path + ".part"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)  # atomic: no torn files on crash/resume
+            sizes.append(len(blob))
+            skipped.append(False)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "skipped": pa.array(skipped, pa.bool_()),
+        })
+
+    return ds.map_batches(_export, batch_format="pyarrow", batch_size=batch_size)
+
+
+def read_geotiffs(paths: str | list[str], *, batch_size: int | None = 16) -> rd.Dataset:
+    """Read a directory (or explicit list) of GeoTIFF files into the images
+    schema via ops.ingest_geotiff — georeference comes from the embedded
+    tags. image_id = file stem."""
+    from .ops import ingest_geotiff
+
+    if isinstance(paths, str):
+        paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))
+                 if f.endswith((".tif", ".tiff"))]
+
+    def load(row: dict) -> dict:
+        with open(row["path"], "rb") as f:
+            blob = f.read()
+        stem = os.path.splitext(os.path.basename(row["path"]))[0]
+        return {"image_id": stem, "bytes": blob}
+
+    files = rd.from_items([{"path": p} for p in paths])
+    return ingest_geotiff(files.map(load), batch_size=batch_size)

@@ -159,3 +159,31 @@ def test_deterministic_sample_properties(ray_session, sf_dir):
     # fraction monotonicity: a 10% sample is a subset of the 20% sample
     small = ops.deterministic_sample(ds, "o_orderkey", 0.1, seed=1).to_pandas()
     assert set(small["o_orderkey"]) <= set(a["o_orderkey"])
+
+
+def test_geotiff_export_roundtrip_and_resume(ray_session, tmp_path):
+    """write_geotiffs → read_geotiffs round-trips pixels bit-exactly and the
+    georeference through the embedded tags; a second export run skips every
+    already-written file (resumable file-per-image sink)."""
+    import numpy as np
+    import ray.data as rd
+
+    from projcl_ray import sources
+    from projcl_ray.images import decode_image, synth_images_table
+
+    tbl = synth_images_table(6, seed=42)
+    out = str(tmp_path / "geotiffs")
+    man = sources.write_geotiffs(rd.from_arrow(tbl), out).to_pandas()
+    assert len(man) == 6 and not man["skipped"].any()
+
+    back = sources.read_geotiffs(out).to_pandas().sort_values("image_id")
+    orig = tbl.to_pandas().sort_values("image_id")
+    assert list(back["image_id"]) == list(orig["image_id"])
+    for (_, b), (_, o) in zip(back.iterrows(), orig.iterrows()):
+        np.testing.assert_array_equal(
+            decode_image(b["bytes"], b["w"], b["h"], "raw"),
+            decode_image(o["bytes"], o["w"], o["h"], "raw"))
+        assert (b["lon0"], b["lat0"], b["px_deg"]) == (o["lon0"], o["lat0"], o["px_deg"])
+
+    man2 = sources.write_geotiffs(rd.from_arrow(tbl), out).to_pandas()
+    assert man2["skipped"].all()  # rerun touches nothing
