@@ -117,6 +117,139 @@ def encode_wav(pcm: np.ndarray, sample_rate: int, *, codec: str = "pcm16") -> by
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format code 0x11; IMA ADPCM reference algorithm).
+# The predictor/step-index chain is sequential WITHIN a block, but blocks
+# are independent — so decode walks nibble positions in lockstep across ALL
+# blocks at once (numpy state vectors), ~block_count-way vectorized.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, np.int32)
+
+
+def _ima_step_nibbles(nibs: np.ndarray, pred: np.ndarray, idx: np.ndarray):
+    """One vectorized IMA step for a vector of nibbles with per-element
+    (pred, idx) state. Returns the new (pred, idx)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    diff += np.where(nibs & 1, step >> 2, 0)
+    diff += np.where(nibs & 2, step >> 1, 0)
+    diff += np.where(nibs & 4, step, 0)
+    pred = np.clip(pred + np.where(nibs & 8, -diff, diff), -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX_ADJ[nibs], 0, 88)
+    return pred, idx
+
+
+def _ima_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM payload → (n, ch) int16. Standard WAV block layout: per
+    channel a 4-byte header (int16 predictor, uint8 step index, pad), then
+    4-byte (8-nibble) groups interleaved per channel."""
+    raw = np.frombuffer(data, np.uint8)
+    n_blocks = len(raw) // block_align
+    blocks = raw[: n_blocks * block_align].reshape(n_blocks, block_align)
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block per channel
+
+    hdr = blocks[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred = (hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 1 << 15, pred - (1 << 16), pred)
+    idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+
+    body = blocks[:, 4 * ch:]  # (n_blocks, groups*4*ch) — 4-byte groups per ch
+    grp = body.reshape(n_blocks, -1, ch, 4)  # group g, channel c, 4 bytes
+    lo = grp & 0x0F
+    hi = grp >> 4
+    # nibble stream per (block, channel): byte order within group, lo then hi
+    nibs = np.empty(grp.shape[:3] + (8,), np.uint8)
+    nibs[..., 0::2] = lo
+    nibs[..., 1::2] = hi
+    nibs = nibs.transpose(0, 2, 1, 3).reshape(n_blocks, ch, -1)
+
+    out = np.empty((n_blocks, ch, spb), np.int16)
+    out[:, :, 0] = pred.astype(np.int16)
+    flat_pred = pred.reshape(-1)
+    flat_idx = idx.reshape(-1)
+    flat_nibs = nibs.reshape(n_blocks * ch, -1)
+    for t in range(spb - 1):  # lockstep across all blocks & channels
+        flat_pred, flat_idx = _ima_step_nibbles(flat_nibs[:, t], flat_pred, flat_idx)
+        out[:, :, t + 1] = flat_pred.reshape(n_blocks, ch).astype(np.int16)
+    return out.transpose(0, 2, 1).reshape(-1, ch)
+
+
+def _ima_encode(pcm: np.ndarray, block_samples: int = 1017) -> tuple[bytes, int]:
+    """(n, ch) int16 → (IMA ADPCM payload, block_align). Greedy reference
+    quantizer, vectorized across blocks in the same lockstep fashion."""
+    pcm = pcm.reshape(-1, 1) if pcm.ndim == 1 else pcm
+    n, ch = pcm.shape
+    # pad the tail block; samples-per-block ≡ 1 (mod 8) keeps groups whole
+    spb = block_samples - (block_samples - 1) % 8
+    n_blocks = (n + spb - 1) // spb
+    padded = np.zeros((n_blocks * spb, ch), np.int16)
+    padded[:n] = pcm
+    samp = padded.reshape(n_blocks, spb, ch).transpose(0, 2, 1)  # (b, ch, s)
+
+    flat = samp.reshape(n_blocks * ch, spb).astype(np.int32)
+    pred = flat[:, 0].copy()
+    # initial step index per block ≈ the block's mean slope (blocks are
+    # encoded in parallel, so the running index can't carry across them;
+    # this estimate avoids the slow ramp-up from index 0 at each boundary)
+    slope = np.abs(np.diff(flat, axis=1)).mean(axis=1).astype(np.int32)
+    idx0 = np.clip(np.searchsorted(_IMA_STEPS, slope), 0, 88).astype(np.int32)
+    idx = idx0.copy()
+    nibs = np.empty((len(flat), spb - 1), np.uint8)
+    for t in range(spb - 1):
+        target = flat[:, t + 1]
+        step = _IMA_STEPS[idx]
+        diff = target - pred
+        nib = np.where(diff < 0, 8, 0).astype(np.uint8)
+        adiff = np.abs(diff)
+        nib |= np.where(adiff >= step, 4, 0).astype(np.uint8)
+        rem = adiff - np.where(adiff >= step, step, 0)
+        nib |= np.where(rem >= step >> 1, 2, 0).astype(np.uint8)
+        rem = rem - np.where(rem >= step >> 1, step >> 1, 0)
+        nib |= np.where(rem >= step >> 2, 1, 0).astype(np.uint8)
+        nibs[:, t] = nib
+        pred, idx = _ima_step_nibbles(nib, pred, idx)
+
+    block_align = 4 * ch + (spb - 1) * ch // 2
+    groups = nibs.reshape(n_blocks, ch, -1, 8)
+    packed = (groups[..., 0::2] | (groups[..., 1::2] << 4)).astype(np.uint8)
+    packed = packed.transpose(0, 2, 1, 3).reshape(n_blocks, -1)
+    hdr = np.zeros((n_blocks, ch, 4), np.uint8)
+    first = samp[:, :, 0].astype(np.int32) & 0xFFFF
+    hdr[:, :, 0] = first & 0xFF
+    hdr[:, :, 1] = first >> 8
+    hdr[:, :, 2] = idx0.reshape(n_blocks, ch).astype(np.uint8)
+    out = np.concatenate([hdr.reshape(n_blocks, -1), packed], axis=1)
+    return out.tobytes(), block_align
+
+
+def encode_wav_ima_adpcm(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM (1-D mono or (n, ch)) → RIFF/WAVE with IMA ADPCM (format
+    0x11) payload, incl. the required ``fact`` chunk."""
+    import struct
+
+    pcm = np.ascontiguousarray(pcm, "<i2")
+    ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    n = pcm.shape[0]
+    data, block_align = _ima_encode(pcm)
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE → (float32 mono samples in [-1, 1], sample_rate). Pure
     stdlib + numpy (no codec libs): PCM 8/16/24/32-bit (format 1),
@@ -128,7 +261,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
-    fmt_chunk = data = None
+    fmt_chunk = data = fact = None
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", buf, pos + 4)
@@ -137,10 +270,12 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             fmt_chunk = payload
         elif tag == b"data":
             data = payload
+        elif tag == b"fact" and ln >= 4:
+            (fact,) = struct.unpack_from("<I", payload, 0)
         pos += 8 + ln + (ln & 1)  # chunks pad to even length
     if fmt_chunk is None or data is None:
         raise ValueError("corrupt WAV: missing fmt/data chunk")
-    audio_fmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    audio_fmt, ch, sr, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
     if audio_fmt == 0xFFFE and len(fmt_chunk) >= 26:  # EXTENSIBLE: real fmt inside
         (audio_fmt,) = struct.unpack_from("<H", fmt_chunk, 24)
     if audio_fmt == 3 and bits == 32:
@@ -160,6 +295,11 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         x = _ULAW_DEC[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
     elif audio_fmt == 6 and bits == 8:  # G.711 A-law
         x = _ALAW_DEC[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
+    elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (block-parallel decode)
+        samples = _ima_decode(data, ch, block_align)
+        if fact is not None:
+            samples = samples[:fact]  # drop encoder padding in the tail block
+        x = samples.reshape(-1).astype(np.float32) / 32768.0
     else:
         raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
     if ch > 1:

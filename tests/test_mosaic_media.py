@@ -358,3 +358,29 @@ def test_wav_g711_ulaw_alaw():
                 "clip_id": "c0", "bytes": buf, "sample_rate": 8000,
                 "n_samples": len(pcm), "fmt": "wav"}])).to_pandas()
         assert len(feats) == 1 and 0.0 < feats.iloc[0]["rms"] < 1.0
+
+
+def test_wav_ima_adpcm_roundtrip():
+    """IMA ADPCM WAV (format 0x11): block-parallel vectorized decode; our
+    encoder (greedy reference quantizer, per-block slope-estimated initial
+    step index) round-trips a band-limited signal at > 24 dB SNR in mono and
+    stereo, deterministic bytes, fact-chunk tail truncation honored."""
+    from projcl_ray import media
+
+    rng = np.random.default_rng(2)
+    sr = 16000
+    tt = np.arange(sr) / sr
+    sig = (0.6 * np.sin(2 * np.pi * 440 * tt)
+           + 0.2 * np.sin(2 * np.pi * 1230 * tt)
+           + 0.02 * rng.normal(size=len(tt)))
+    pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    for x_in in (pcm, np.stack([pcm, (pcm // 2).astype(np.int16)], axis=1)):
+        buf = media.encode_wav_ima_adpcm(x_in, sr)
+        assert media.encode_wav_ima_adpcm(x_in, sr) == buf
+        x, got_sr = media.decode_wav(buf)
+        ref = x_in.astype(np.float32) / 32768.0
+        if ref.ndim == 2:
+            ref = ref.mean(axis=1)
+        assert got_sr == sr and len(x) == len(ref)  # fact truncates padding
+        snr = 10 * np.log10((ref**2).mean() / ((x - ref) ** 2).mean())
+        assert snr > 24.0
