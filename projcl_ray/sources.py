@@ -116,7 +116,8 @@ def write_geotiffs(ds: rd.Dataset, out_dir: str, *, compression: str = "deflate"
             img = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
             geo = GeoTags(row["px_deg"], row["px_deg"], 0.0, 0.0,
                           row["lon0"], row["lat0"])
-            blob = encode_tiff(img, geo=geo, compression=compression)
+            blob = encode_tiff(img, geo=geo, compression=compression,
+                               predictor=2)  # horiz differencing: ~40% smaller
             tmp = path + ".part"
             with open(tmp, "wb") as f:
                 f.write(blob)

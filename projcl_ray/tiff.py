@@ -15,8 +15,9 @@ Scope:
   2 (RGB, with or without alpha), 3 (palette); 8-bit samples; predictor 2
   (horizontal differencing). Multi-IFD files decode the first image.
 - encode: (h, w, 4)|(h, w, 3)|(h, w) uint8 → little-endian RGB(A)/gray
-  TIFF, deflate-compressed strips, optional GeoTIFF georeference tags.
-  Deterministic bytes.
+  TIFF; strip- or tile-organized, none/LZW/deflate, optional horizontal-
+  differencing predictor and GeoTIFF georeference tags. Deterministic
+  bytes.
 
 All pixel work is vectorized; the only Python loop is the LZW code loop,
 inherent to the format (see gif.py — same reasoning).
@@ -328,28 +329,50 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
 
 
 def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
-                compression: str = "deflate", rows_per_strip: int = 64) -> bytes:
+                compression: str = "deflate", rows_per_strip: int = 64,
+                tiled: bool = False, tile_size: int = 64,
+                predictor: int = 1) -> bytes:
     """(h, w, 4)|(h, w, 3)|(h, w) uint8 → little-endian classic TIFF.
     ``compression``: "deflate" (tag 8), "lzw" (tag 5, TIFF variant),
-    "packbits" is decode-only, "none". ``geo`` writes the GeoTIFF
-    ModelPixelScale/ModelTiepoint tags."""
+    "packbits" is decode-only, "none". ``tiled`` emits tile organization
+    (TileWidth/TileLength, edge tiles zero-padded per spec) instead of
+    strips. ``predictor=2`` applies horizontal differencing before
+    compression. ``geo`` writes the GeoTIFF ModelPixelScale/ModelTiepoint
+    tags."""
     arr = np.ascontiguousarray(arr, np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else arr.shape[2]
     photometric = 1 if gray else 2
-    flat = arr.reshape(h, w * spp)
+    px = arr.reshape(h, w, spp)
+
+    def pack_segment(seg: np.ndarray) -> bytes:
+        if predictor == 2:
+            d = seg.copy()
+            d[:, 1:, :] -= seg[:, :-1, :]  # uint8 wraparound = mod-256 diff
+            seg = d
+        raw = seg.tobytes()
+        if compression == "deflate":
+            return zlib.compress(raw, 6)
+        if compression == "lzw":
+            return _lzw_encode_tiff(raw)
+        return raw
 
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8}[compression]
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        raw = flat[y0:y0 + rows_per_strip].tobytes()
-        if compression == "deflate":
-            strips.append(zlib.compress(raw, 6))
-        elif compression == "lzw":
-            strips.append(_lzw_encode_tiff(raw))
-        else:
-            strips.append(raw)
+    segments: list[bytes] = []
+    if tiled:
+        tiles_x = (w + tile_size - 1) // tile_size
+        tiles_y = (h + tile_size - 1) // tile_size
+        padded = np.zeros((tiles_y * tile_size, tiles_x * tile_size, spp), np.uint8)
+        padded[:h, :w] = px
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                segments.append(pack_segment(
+                    padded[ty * tile_size:(ty + 1) * tile_size,
+                           tx * tile_size:(tx + 1) * tile_size]))
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            segments.append(pack_segment(px[y0:y0 + rows_per_strip]))
 
     entries: list[tuple[int, int, int, bytes | int]] = []
 
@@ -358,16 +381,24 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
         payload = struct.pack("<" + str(len(vals)) + fmt, *vals)
         entries.append((tid, typ, len(vals), payload))
 
-    n_strips = len(strips)
+    n_strips = len(segments)
+    offsets_tag = _T_TILE_OFFSETS if tiled else _T_STRIP_OFFSETS
     tag(_T_WIDTH, 4, [w])
     tag(_T_HEIGHT, 4, [h])
     tag(_T_BITS, 3, [8] * spp)
     tag(_T_COMPRESSION, 3, [comp_tag])
     tag(_T_PHOTOMETRIC, 3, [photometric])
-    tag(_T_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+    tag(offsets_tag, 4, [0] * n_strips)  # patched below
     tag(_T_SPP, 3, [spp])
-    tag(_T_ROWS_PER_STRIP, 4, [rows_per_strip])
-    tag(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if predictor == 2:
+        tag(_T_PREDICTOR, 3, [2])
+    if tiled:
+        tag(_T_TILE_W, 4, [tile_size])
+        tag(_T_TILE_H, 4, [tile_size])
+        tag(_T_TILE_COUNTS, 4, [len(s) for s in segments])
+    else:
+        tag(_T_ROWS_PER_STRIP, 4, [rows_per_strip])
+        tag(_T_STRIP_COUNTS, 4, [len(s) for s in segments])
     if spp == 4:
         tag(_T_EXTRASAMPLES, 3, [2])  # unassociated alpha
     if geo is not None:
@@ -392,15 +423,15 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
         blob_offs.append(off)
         off += len(bpayload) + (len(bpayload) & 1)
     strip_offs = []
-    for s in strips:
+    for s in segments:
         strip_offs.append(off)
         off += len(s) + (len(s) & 1)
 
-    # patch StripOffsets now that the layout is known
+    # patch the Strip/TileOffsets tag now that the layout is known
     so_payload = struct.pack("<" + str(n_strips) + "I", *strip_offs)
     out_entries = bytearray()
     for (tid, typ, count, inline, blob_i) in fixed:
-        if tid == _T_STRIP_OFFSETS:
+        if tid == offsets_tag:
             if len(so_payload) <= 4:
                 inline, blob_i = so_payload.ljust(4, b"\x00"), None
             else:
@@ -417,7 +448,7 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
     out += struct.pack("<H", len(entries)) + out_entries + struct.pack("<I", 0)
     for bpayload in blobs:
         out += bpayload + (b"\x00" if len(bpayload) & 1 else b"")
-    for s in strips:
+    for s in segments:
         out += s + (b"\x00" if len(s) & 1 else b"")
     return bytes(out)
 

@@ -775,3 +775,25 @@ def test_geotiff_ingest_warp_tile_matches_raw_path(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
+
+
+def test_tiff_tiled_and_predictor_roundtrip():
+    """Tile-organized TIFF (edge tiles zero-padded per spec) and the
+    horizontal-differencing predictor both round-trip across compressions,
+    and predictor 2 shrinks deflate output on smooth rasters."""
+    import numpy as np
+
+    from projcl_ray import tiff
+    from projcl_ray.images import synth_pixels
+
+    img = synth_pixels(5, 97, 61)  # non-multiple dims → padded edge tiles
+    for kw in (dict(tiled=True, tile_size=32),
+               dict(tiled=True, tile_size=32, compression="lzw"),
+               dict(predictor=2),
+               dict(tiled=True, predictor=2, tile_size=16, compression="none"),
+               dict(predictor=2, compression="lzw")):
+        buf = tiff.encode_tiff(img, **kw)
+        np.testing.assert_array_equal(tiff.decode_tiff(buf), img)
+    plain = len(tiff.encode_tiff(img))
+    pred = len(tiff.encode_tiff(img, predictor=2))
+    assert pred < plain
