@@ -197,10 +197,18 @@ def _ima_encode(pcm: np.ndarray, block_samples: int = 1017) -> tuple[bytes, int]
 
     flat = samp.reshape(n_blocks * ch, spb).astype(np.int32)
     pred = flat[:, 0].copy()
-    # initial step index per block ≈ the block's mean slope (blocks are
-    # encoded in parallel, so the running index can't carry across them;
-    # this estimate avoids the slow ramp-up from index 0 at each boundary)
-    slope = np.abs(np.diff(flat, axis=1)).mean(axis=1).astype(np.int32)
+    # initial step index per block ≈ the block's mean slope over its VALID
+    # samples (tail-block padding would dilute the estimate to near zero);
+    # blocks are encoded in parallel, so the running index can't carry
+    # across them — this estimate avoids the slow ramp-up from index 0
+    adiff = np.abs(np.diff(flat, axis=1)).astype(np.float64)
+    valid_per_block = np.full(n_blocks, spb - 1, np.int64)
+    last_valid = n - (n_blocks - 1) * spb  # real samples in the tail block
+    valid_per_block[-1] = max(last_valid - 1, 1)
+    mask = (np.arange(spb - 1)[None, :]
+            < valid_per_block.repeat(ch)[:, None])
+    slope = ((adiff * mask).sum(axis=1)
+             / np.maximum(mask.sum(axis=1), 1)).astype(np.int32)
     idx0 = np.clip(np.searchsorted(_IMA_STEPS, slope), 0, 88).astype(np.int32)
     idx = idx0.copy()
     nibs = np.empty((len(flat), spb - 1), np.uint8)

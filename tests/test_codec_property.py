@@ -1,0 +1,101 @@
+"""Property tests (hypothesis) for the round-4 codecs: random shapes,
+palettes and signals must round-trip losslessly (gif/bmp/tiff) or within
+the codec's quantization bound (G.711 / IMA ADPCM). Complements the
+hand-built-file tests in test_warp.py / test_mosaic_media.py."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from projcl_ray import bmp, gif, media, tiff
+
+
+@st.composite
+def palette_image(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    n_colors = draw(st.integers(1, 64))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w))
+    img = np.empty((h, w, 4), np.uint8)
+    img[..., :3] = pal[idx]
+    img[..., 3] = 255
+    return img
+
+
+@given(palette_image(), st.booleans(), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(img, interlace, transparent):
+    if transparent:
+        img = img.copy()
+        img[:: max(1, img.shape[0] // 3), :, 3] = 0
+    buf = gif.encode_gif(img, interlace=interlace)
+    dec = gif.decode_gif(buf)
+    opq = img[..., 3] >= 128
+    np.testing.assert_array_equal(dec[..., 3] > 0, opq)
+    np.testing.assert_array_equal(dec[opq][:, :3], img[opq][:, :3])
+
+
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 4), dtype=np.uint8)
+    dec = bmp.decode_bmp(bmp.encode_bmp(img))
+    np.testing.assert_array_equal(dec[..., :3], img[..., :3])
+    assert (dec[..., 3] == 255).all()
+
+
+@given(st.integers(1, 70), st.integers(1, 70), st.integers(0, 2**31 - 1),
+       st.sampled_from(["none", "deflate", "lzw"]), st.booleans(),
+       st.sampled_from([1, 2]), st.sampled_from([1, 3, 4]))
+@settings(max_examples=30, deadline=None)
+def test_tiff_roundtrip_property(h, w, seed, comp, tiled, predictor, channels):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    buf = tiff.encode_tiff(img, compression=comp, tiled=tiled,
+                           tile_size=16, rows_per_strip=13, predictor=predictor)
+    dec = tiff.decode_tiff(buf)
+    if channels == 1:
+        np.testing.assert_array_equal(dec[..., 0], img)
+        np.testing.assert_array_equal(dec[..., 1], img)
+    else:
+        np.testing.assert_array_equal(dec[..., :3], img[..., :3])
+    if channels == 4:
+        np.testing.assert_array_equal(dec[..., 3], img[..., 3])
+    else:
+        assert (dec[..., 3] == 255).all()
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(10, 3000),
+       st.sampled_from(["ulaw", "alaw"]))
+@settings(max_examples=20, deadline=None)
+def test_g711_quantization_bound_property(seed, n, codec):
+    pcm = (np.random.default_rng(seed).uniform(-1, 1, n) * 32767).astype(np.int16)
+    x, sr = media.decode_wav(media.encode_wav(pcm, 8000, codec=codec))
+    assert sr == 8000 and len(x) == n
+    # G.711 codes decode to the nearest representable value: within range
+    # the largest segment step is 1024 → error <= 512; inputs beyond the
+    # codec's max representable (µ-law ±32124) clip with error <= 643
+    assert np.abs(x * 32768.0 - pcm).max() <= 643.0
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(20, 5000), st.sampled_from([1, 2]))
+@settings(max_examples=15, deadline=None)
+def test_ima_adpcm_tracks_smooth_signals_property(seed, n, ch):
+    rng = np.random.default_rng(seed)
+    # band-limited signal: ADPCM assumes sample-to-sample correlation
+    freq = rng.uniform(50, 2000)
+    t = np.arange(n) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.normal(size=n)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    if ch == 2:
+        pcm = np.stack([pcm, (pcm // 3).astype(np.int16)], axis=1)
+    x, sr = media.decode_wav(media.encode_wav_ima_adpcm(pcm, 16000))
+    ref = pcm.astype(np.float32) / 32768.0
+    if ref.ndim == 2:
+        ref = ref.mean(axis=1)
+    assert len(x) == len(ref)
+    err = np.sqrt(((x - ref) ** 2).mean())
+    assert err < 0.03  # ~30 dB below full scale on band-limited input
