@@ -107,8 +107,13 @@ def _iter_chunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def decode_avi_mjpeg(buf: bytes) -> tuple[np.ndarray, float]:
-    """MJPEG AVI bytes → ((n, h, w, 4) uint8 RGBA frames, fps)."""
+def decode_avi_mjpeg(buf: bytes, frame_indices=None) -> tuple[np.ndarray, float]:
+    """MJPEG AVI bytes → ((n, h, w, 4) uint8 RGBA frames, fps).
+
+    ``frame_indices`` decodes ONLY the requested frames (returned in the
+    given order) — MJPEG frames are independent, so sampled reads cost
+    O(sampled), not O(clip length); a dropped (zero-length) chunk resolves
+    to the nearest earlier real frame, matching the full-decode output."""
     from .images import decode_image
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
@@ -141,6 +146,28 @@ def decode_avi_mjpeg(buf: bytes) -> tuple[np.ndarray, float]:
     walk(12, len(buf))
     if not jpegs:
         raise ValueError("AVI contains no video frame chunks")
+    if frame_indices is not None:
+        # resolve dropped frames to the nearest earlier real chunk, then
+        # decode each needed chunk once (dedup repeated/shared sources)
+        resolved = []
+        for fi in frame_indices:
+            if not 0 <= fi < len(jpegs):
+                raise IndexError(f"frame {fi} out of range 0..{len(jpegs) - 1}")
+            while fi >= 0 and len(jpegs[fi]) == 0:
+                fi -= 1
+            if fi < 0:
+                raise ValueError("AVI starts with a dropped frame")
+            resolved.append(fi)
+        cache: dict[int, np.ndarray] = {}
+        for fi in resolved:
+            if fi not in cache:
+                cache[fi] = decode_image(jpegs[fi], w, h, "jpeg")
+        out = np.stack([cache[fi] for fi in resolved])
+        if w and h and (out.shape[2] != w or out.shape[1] != h):
+            raise ValueError(
+                f"AVI header says {w}x{h} but frames decode to "
+                f"{out.shape[2]}x{out.shape[1]}")
+        return out, float(fps)
     frames = []
     prev = None
     for b in jpegs:

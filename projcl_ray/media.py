@@ -370,10 +370,18 @@ def sample_video_frames(ds: ray.data.Dataset, every_n: int = 10, *,
             batch["w"].to_pylist(), batch["h"].to_pylist(),
             batch["n_frames"].to_pylist(), batch["fmt"].to_pylist(),
         ):
-            frames = decode_video_frames(buf, w, h, nf, fmt)
-            for fi in range(0, nf, every_n):
+            wanted = list(range(0, nf, every_n))
+            if fmt == "avi":
+                # MJPEG frames are independent: decode ONLY the sampled
+                # frames — cost O(sampled), not O(clip length)
+                from .avi import decode_avi_mjpeg
+
+                sel, _fps = decode_avi_mjpeg(buf, frame_indices=wanted)
+            else:
+                sel = decode_video_frames(buf, w, h, nf, fmt)[wanted]
+            for fi, frame in zip(wanted, sel):
                 ids.append(f"{vid}#{fi:06d}")
-                bufs.append(np.ascontiguousarray(frames[fi]).tobytes())
+                bufs.append(np.ascontiguousarray(frame).tobytes())
                 ws.append(w)
                 hs.append(h)
                 fmts.append("raw")

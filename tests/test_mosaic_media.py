@@ -384,3 +384,31 @@ def test_wav_ima_adpcm_roundtrip():
         assert got_sr == sr and len(x) == len(ref)  # fact truncates padding
         snr = 10 * np.log10((ref**2).mean() / ((x - ref) ** 2).mean())
         assert snr > 24.0
+
+
+def test_avi_selective_decode_matches_full():
+    """frame_indices decoding returns exactly the full-decode frames at
+    those indices, including across dropped-frame chunks, and tolerates
+    repeated/unordered index lists."""
+    import struct
+
+    from projcl_ray import avi
+    from projcl_ray.images import synth_pixels
+
+    frames = np.stack([synth_pixels(i, 48, 32) for i in range(8)])
+    buf = avi.encode_avi_mjpeg(frames, fps=10, quality=92)
+    full, _ = avi.decode_avi_mjpeg(buf)
+    sel, _ = avi.decode_avi_mjpeg(buf, frame_indices=[0, 5, 2, 5])
+    np.testing.assert_array_equal(sel, full[[0, 5, 2, 5]])
+
+    # insert a dropped frame after frame 0 → index 1 repeats frame 0
+    movi_at = buf.find(b"movi")
+    first_sz = struct.unpack_from("<I", buf, movi_at + 8)[0]
+    skip = movi_at + 4 + 8 + first_sz + (first_sz & 1)
+    dropped = buf[:skip] + b"00dc" + struct.pack("<I", 0) + buf[skip:]
+    full2, _ = avi.decode_avi_mjpeg(dropped)
+    sel2, _ = avi.decode_avi_mjpeg(dropped, frame_indices=[1, 3])
+    np.testing.assert_array_equal(sel2, full2[[1, 3]])
+
+    with pytest.raises(IndexError):
+        avi.decode_avi_mjpeg(buf, frame_indices=[99])
