@@ -127,49 +127,44 @@ def encode_png(arr: np.ndarray, *, level: int = 6, filter_type: int = 0,
 
 
 def _unfilter(stream: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering. Filter 0/2 are fully vectorized per
-    row; Sub uses a wrap-around uint8 cumsum (exact mod-256 semantics);
-    Average/Paeth have an intra-row byte dependency and run a per-pixel
-    loop vectorized across the row's byte lanes (bpp at a time)."""
+    """Reverse PNG scanline filtering in ONE vectorized anti-diagonal
+    wavefront. Every filter predicts from the same three neighbors —
+    left (x−bpp), up (y−1) and up-left — so rec[y][col] only depends on
+    cells with smaller y+col: all cells on a diagonal compute together
+    (np.select on the row's filter type), h+cols diagonals total instead
+    of a per-pixel Python loop. Arithmetic is int16 with &255 stores,
+    the spec's exact mod-256 semantics."""
     rows = stream.reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    data = rows[:, 1:]
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f = int(ftypes[y])
-        raw = data[y]
-        if f == 0:
-            rec = raw.copy()
-        elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]  (mod 256)
-            rec = raw.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint8).reshape(-1)
-        elif f == 2:  # Up
-            rec = raw + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average
-            rec = np.empty(stride, np.uint8)
-            rec[:bpp] = raw[:bpp] + prev[:bpp] // 2
-            for x in range(bpp, stride, bpp):
-                sl = slice(x, x + bpp)
-                avg = (rec[x - bpp : x].astype(np.int16) + prev[sl]) // 2
-                rec[sl] = raw[sl] + avg.astype(np.uint8)
-        elif f == 4:  # Paeth
-            rec = np.empty(stride, np.uint8)
-            pb = prev[:bpp].astype(np.int16)
-            rec[:bpp] = raw[:bpp] + _paeth(
-                np.zeros(bpp, np.int16), pb, np.zeros(bpp, np.int16)
-            ).astype(np.uint8)
-            prev16 = prev.astype(np.int16)
-            for x in range(bpp, stride, bpp):
-                sl = slice(x, x + bpp)
-                a = rec[x - bpp : x].astype(np.int16)
-                rec[sl] = raw[sl] + _paeth(
-                    a, prev16[sl], prev16[x - bpp : x]
-                ).astype(np.uint8)
-        else:
-            raise ValueError(f"corrupt PNG: filter {f}")
-        out[y] = rec
-        prev = rec
-    return out
+    ftypes = rows[:, 0].astype(np.int16)
+    if np.any(ftypes > 4):
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"corrupt PNG: filter {bad}")
+    cols = stride // bpp
+    raw3 = rows[:, 1:].reshape(h, cols, bpp).astype(np.int16)
+    # R[y+1, c+1] = rec[y][c]; the zero pad row/col supplies the spec's
+    # zero left/up/up-left neighbors at the image edges
+    R = np.zeros((h + 1, cols + 1, bpp), np.int16)
+    ys_all = np.arange(h)
+    for d in range(h + cols - 1):
+        ys = ys_all[max(0, d - cols + 1): min(h, d + 1)]
+        cs = d - ys
+        left = R[ys + 1, cs]
+        up = R[ys, cs + 1]
+        upleft = R[ys, cs]
+        f = ftypes[ys][:, None]
+        p = left + up - upleft
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc = np.abs(p - upleft)
+        paeth = np.where((pa <= pb) & (pa <= pc), left,
+                         np.where(pb <= pc, up, upleft))
+        pred = np.select(
+            [f == 0, f == 1, f == 2, f == 3],
+            [np.int16(0), left, up, (left + up) >> 1],
+            default=paeth,
+        )
+        R[ys + 1, cs + 1] = (raw3[ys, cs] + pred) & 255
+    return R[1:, 1:].astype(np.uint8).reshape(h, stride)
 
 
 def _unpack_scanbytes(rows: np.ndarray, pw: int, ch: int,
