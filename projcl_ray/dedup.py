@@ -407,6 +407,7 @@ def dup_components(
     pair_b: str = "id_b",
     n_parts: int | None = None,
     max_rounds: int = 64,
+    small_edge_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """The keep/drop decision that ends a dedup pipeline: connected
     components over the (verified) duplicate-pair graph. Every id gets
@@ -433,6 +434,13 @@ def dup_components(
     (node, label) id pairs — never texts, never the graph on one machine.
     The final id → component relabeling is one more bounded co-partition
     join against the full id column.
+
+    Measured-cardinality guard (the ops.cell_counts auto-guard pattern):
+    when the MEASURED edge count is ≤ ``small_edge_threshold`` (default
+    5M ⇒ ≤80 MB of edges), the same hash-min + pointer-jumping fixpoint
+    runs vectorized in ONE Ray task instead — the per-round shuffle
+    overhead dominates wall time at that size. Identical output
+    (branch-equivalence pytest); pass 0 to force the distributed path.
     """
     import pandas as pd
     import pyarrow.compute as pc
@@ -463,6 +471,43 @@ def dup_components(
     if n_parts is None:
         n_parts = _adaptive_parts(n_edges)
     node_type = edges.schema().base_schema.field("src").type
+
+    # Measured-cardinality guard (same auto-guard pattern as
+    # ops.cell_counts): when the MEASURED edge count provably fits one
+    # task's memory (16 B/edge → ≤80 MB at the threshold), the O(log D)
+    # shuffle rounds below are pure fixed overhead — run the exact same
+    # hash-min + pointer-jumping fixpoint in-memory inside ONE Ray task
+    # (numpy, not the driver). The distributed path is unchanged for
+    # larger graphs and is exercised by the long-chain pytest.
+    if n_edges <= small_edge_threshold:
+        def one_task_cc(group: "pd.DataFrame") -> "pd.DataFrame":
+            src = group["src"].to_numpy()
+            dst = group["dst"].to_numpy()
+            nodes = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(nodes, src)
+            di = np.searchsorted(nodes, dst)
+            lbl = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                new = lbl.copy()
+                np.minimum.at(new, si, lbl[di])
+                np.minimum.at(new, di, lbl[si])
+                new = np.minimum(new, new[new])  # pointer jumping
+                if np.array_equal(new, lbl):
+                    break
+                lbl = new
+            return pd.DataFrame({"node": nodes, "lbl": nodes[lbl]})
+
+        # repartition(1) + whole-block batch => exactly one task sees all edges
+        labels = edges.repartition(1).map_batches(
+            one_task_cc, batch_format="pandas", batch_size=None
+        ).map_batches(
+            lambda b: pa.table({"node": pc.cast(b["node"], node_type),
+                                "lbl": pc.cast(b["lbl"], node_type)}),
+            batch_format="pyarrow",
+        ).materialize()
+        return _relabel_ids(ids_ds, labels, id_col, ids_schema, node_type,
+                            n_parts)
+
     # bound block counts: unions + sort shuffles otherwise MULTIPLY blocks
     # every round (output partitions track input blocks), turning O(log D)
     # rounds into geometrically slower shuffles of thousands of tiny blocks
@@ -547,7 +592,24 @@ def dup_components(
         )
 
     # --- relabel the full id column: bounded co-partition LEFT join --------
+    return _relabel_ids(ids_ds, labels, id_col, ids_schema, node_type, n_parts)
+
+
+def _relabel_ids(ids_ds, labels, id_col, ids_schema, node_type, n_parts):
+    """id → component relabeling shared by both dup_components paths: one
+    bounded co-partition LEFT join of the full id column against the
+    (node, lbl) labels; ids without a label are their own component."""
+    import pandas as pd
+
+    from .ops import hash_key_u64
+
+    id_type = ids_schema.field(id_col).type
     other_cols = [c for c in ids_schema.names if c != id_col]
+
+    def part_on_id(batch: pa.Table) -> pa.Table:
+        p = (hash_key_u64(np.asarray(batch[id_col])) * np.uint64(2654435761)) \
+            % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(p.astype(np.int64)))
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("cc_lbl", pa.nulls(batch.num_rows, node_type))
@@ -585,7 +647,7 @@ def dup_components(
     return (
         ids_ds.map_batches(tag_ids, batch_format="pyarrow")
         .union(labels.map_batches(tag_final, batch_format="pyarrow"))
-        .map_batches(_part_on(id_col), batch_format="pyarrow")
+        .map_batches(part_on_id, batch_format="pyarrow")
         .groupby("part")
         .map_groups(relabel_group, batch_format="pandas")
         .map_batches(restore_schema, batch_format="pyarrow")

@@ -318,7 +318,11 @@ def test_dup_components_long_chain_distributed(ray_session):
     extra = [(210, 230), (230, 211), (215, 216)]
     ids = rd.from_items([{"doc_id": i} for i in range(n)])
     pairs = rd.from_items([{"id_a": a, "id_b": b} for a, b in chain + extra])
-    out = dedup.dup_components(ids, pairs, n_parts=8).to_pandas().sort_values("doc_id")
+    # small_edge_threshold=0 forces the DISTRIBUTED label-propagation path
+    # (the measured-cardinality guard would otherwise take the one-task
+    # branch at this size)
+    out = dedup.dup_components(ids, pairs, n_parts=8,
+                               small_edge_threshold=0).to_pandas().sort_values("doc_id")
     got = out["component_id"].to_numpy()
     exp = np.arange(n)
     exp[:200] = 0
@@ -330,7 +334,8 @@ def test_dup_components_long_chain_distributed(ray_session):
     s_ids = rd.from_items([{"doc_id": f"d{i:03d}"} for i in range(6)])
     s_pairs = rd.from_items([{"id_a": "d004", "id_b": "d001"},
                              {"id_a": "d001", "id_b": "d003"}])
-    s_out = dedup.dup_components(s_ids, s_pairs, n_parts=4).to_pandas()
+    s_out = dedup.dup_components(s_ids, s_pairs, n_parts=4,
+                                 small_edge_threshold=0).to_pandas()
     s_map = dict(zip(s_out["doc_id"], s_out["component_id"]))
     assert s_map["d001"] == s_map["d003"] == s_map["d004"] == "d001"
     assert s_map["d000"] == "d000" and s_map["d005"] == "d005"
@@ -414,3 +419,21 @@ def test_fast_token_hashes_quality_and_flag():
     import hashlib
     exp = int.from_bytes(hashlib.md5(b"word1").digest()[:8], "little")
     assert int(text.token_hashes(["word1"])[0]) == exp
+
+
+def test_dup_components_small_path_matches_distributed(ray_session):
+    """The measured-cardinality one-task branch and the distributed
+    label-propagation branch produce identical components on the same
+    random graph."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pairs_np = rng.integers(0, n, (120, 2))
+    ids = rd.from_items([{"doc_id": int(i)} for i in range(n)])
+    pairs = rd.from_items([{"id_a": int(a), "id_b": int(b)} for a, b in pairs_np])
+    small = dedup.dup_components(ids, pairs, n_parts=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = dedup.dup_components(ids, pairs, n_parts=4, small_edge_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (small["component_id"] == dist["component_id"]).all()
