@@ -194,6 +194,10 @@ def run_suite() -> dict:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_images": N_IMAGES,
+        # this box is SHARED: record what the hardware allowed concurrently
+        # so cross-round wall-time comparisons carry their context (1.0 =
+        # quiet box; e.g. 0.05 = co-tenant saturating all cores)
+        "hw_efficiency_ceiling": _hw_ceiling(1, NUM_CPUS)["hw_efficiency_ceiling"],
         **extra,
     }
     return out
