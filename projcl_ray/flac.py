@@ -267,17 +267,21 @@ def _fixed_restore(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
 def _lpc_restore(warm: np.ndarray, res: np.ndarray, coefs: list[int],
                  shift: int) -> np.ndarray:
     """x[i] = res[i] + (Σ c_j·x[i-1-j]) >> shift — inherently sequential
-    (each sample feeds the next prediction); exact int math in a Python
-    loop over the block."""
-    order = len(coefs)
+    (each sample feeds the next prediction); exact int math. The inner dot
+    runs at C speed via ``sum(map(mul, coefs, window))`` over a rolling
+    most-recent-first window (order ≤ 32, so the insert/pop is cheap)."""
+    from operator import mul
+
     out = list(map(int, warm))
-    rs = res.tolist()
-    for i, e in enumerate(rs):
-        acc = 0
-        base = order + i
-        for j, c in enumerate(coefs):
-            acc += c * out[base - 1 - j]
-        out.append(e + (acc >> shift))
+    win = out[::-1]  # most recent sample first, aligned with coefs
+    app = out.append
+    ins = win.insert
+    pop = win.pop
+    for e in res.tolist():
+        x = e + (sum(map(mul, coefs, win)) >> shift)
+        app(x)
+        ins(0, x)
+        pop()
     return np.array(out, np.int64)
 
 
