@@ -58,7 +58,7 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
         return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
 
-    from .ops import _adaptive_parts, hash_key_u64
+    from .ops import _adaptive_parts
 
     if n_parts is None:
         n_parts = _adaptive_parts(ds.count())
@@ -307,7 +307,7 @@ def verify_candidates(
     """
     import pandas as pd
 
-    from .ops import _adaptive_parts, hash_key_u64
+    from .ops import _adaptive_parts, part_on_key
 
     pairs = pairs.select_columns([id_a, id_b]).materialize()
     n_pairs = pairs.count()
@@ -328,10 +328,7 @@ def verify_candidates(
         id_filler = ""
     docs_slim = docs.select_columns([doc_id_col, text_col])
 
-    def _part(batch: pa.Table) -> pa.Table:
-        p = (hash_key_u64(np.asarray(batch["vkey"])) * np.uint64(2654435761)) \
-            % np.uint64(n_parts)
-        return batch.append_column("part", pa.array(p.astype(np.int64)))
+    _part = part_on_key("vkey", n_parts)
 
     def _attach_text(pair_ds: ray.data.Dataset, key_col: str, text_out: str,
                      carry: list[tuple[str, object, pa.DataType]]):
@@ -446,7 +443,7 @@ def dup_components(
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from .ops import _adaptive_parts, hash_key_u64
+    from .ops import _adaptive_parts, part_on_key
 
     # --- static symmetric edge list (ids only; reused every round) ---------
     def sym(batch: pa.Table) -> pa.Table:
@@ -514,12 +511,7 @@ def dup_components(
     edges = edges.repartition(n_parts).materialize()
 
     def _part_on(col: str):
-        def _p(batch: pa.Table) -> pa.Table:
-            p = (hash_key_u64(np.asarray(batch[col])) * np.uint64(2654435761)) \
-                % np.uint64(n_parts)
-            return batch.append_column("part", pa.array(p.astype(np.int64)))
-
-        return _p
+        return part_on_key(col, n_parts)
 
     # --- initial labels: label(x) = min(x, min neighbor) (a free round) ----
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="lbl")).map_batches(
@@ -601,15 +593,12 @@ def _relabel_ids(ids_ds, labels, id_col, ids_schema, node_type, n_parts):
     (node, lbl) labels; ids without a label are their own component."""
     import pandas as pd
 
-    from .ops import hash_key_u64
+    from .ops import part_on_key
 
     id_type = ids_schema.field(id_col).type
     other_cols = [c for c in ids_schema.names if c != id_col]
 
-    def part_on_id(batch: pa.Table) -> pa.Table:
-        p = (hash_key_u64(np.asarray(batch[id_col])) * np.uint64(2654435761)) \
-            % np.uint64(n_parts)
-        return batch.append_column("part", pa.array(p.astype(np.int64)))
+    part_on_id = part_on_key(id_col, n_parts)
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("cc_lbl", pa.nulls(batch.num_rows, node_type))
@@ -729,7 +718,7 @@ def simhash_neardup_pairs(
 
     Emits (id_a, id_b, hamming) with id_a < id_b.
     """
-    from .ops import _adaptive_parts, _cached, hash_key_u64
+    from .ops import _adaptive_parts, hash_key_u64
 
     bands = max_hamming + 1
     widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]

@@ -35,9 +35,13 @@ _PIL_IMAGE = None  # probed once per process (0 = probed, absent)
 
 
 def _pil():
-    """Return PIL.Image when importable and not disabled, else None."""
+    """Return PIL.Image when importable and not disabled, else None.
+    ``PROJCL_PURE_CODECS=0/false/no/off/''`` means NOT disabled — raw
+    truthiness would silently force the ~100×-slower pure-Python codecs on
+    an operator who exported the conventional 'off' spelling."""
     global _PIL_IMAGE
-    if os.environ.get("PROJCL_PURE_CODECS"):
+    if os.environ.get("PROJCL_PURE_CODECS", "").lower() not in (
+            "", "0", "false", "no", "off"):
         return None
     if _PIL_IMAGE is None:
         try:

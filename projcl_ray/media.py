@@ -112,9 +112,15 @@ def encode_wav(pcm: np.ndarray, sample_rate: int, *, codec: str = "pcm16") -> by
     bytes_per = ch * bits // 8
     fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate,
                       sample_rate * bytes_per, bytes_per, bits)
-    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    # RIFF chunks are word-aligned: an odd-length data chunk (8-bit G.711
+    # mono with an odd sample count) carries a pad byte NOT counted in the
+    # chunk size but counted in the RIFF size
+    pad = b"\x00" if len(data) & 1 else b""
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad))
+            + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
+            + b"data" + struct.pack("<I", len(data)) + data + pad)
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +157,26 @@ def _ima_step_nibbles(nibs: np.ndarray, pred: np.ndarray, idx: np.ndarray):
 def _ima_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
     """IMA ADPCM payload → (n, ch) int16. Standard WAV block layout: per
     channel a 4-byte header (int16 predictor, uint8 step index, pad), then
-    4-byte (8-nibble) groups interleaved per channel."""
+    4-byte (8-nibble) groups interleaved per channel. A short final block
+    (data not a multiple of nBlockAlign — a layout the WAVE spec permits)
+    decodes as its own smaller block rather than being silently dropped."""
     raw = np.frombuffer(data, np.uint8)
+    tail = len(raw) % block_align
+    if tail:
+        hdr_len = 4 * ch
+        if tail < hdr_len:
+            raise ValueError("truncated IMA ADPCM final block (no header)")
+        # keep the header plus whole interleaved group sets; dangling
+        # partial-group bytes are undecodable nibble fragments
+        usable = hdr_len + (tail - hdr_len) // hdr_len * hdr_len
+        head = _ima_decode(data[: len(raw) - tail], ch, block_align) \
+            if len(raw) > tail else np.empty((0, ch), np.int16)
+        return np.vstack([head,
+                          _ima_decode(data[len(raw) - tail:
+                                           len(raw) - tail + usable],
+                                      ch, usable)])
     n_blocks = len(raw) // block_align
-    blocks = raw[: n_blocks * block_align].reshape(n_blocks, block_align)
+    blocks = raw.reshape(n_blocks, block_align)
     spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block per channel
 
     hdr = blocks[:, : 4 * ch].reshape(n_blocks, ch, 4)
@@ -377,6 +399,13 @@ def sample_video_frames(ds: ray.data.Dataset, every_n: int = 10, *,
                 from .avi import decode_avi_mjpeg
 
                 sel, _fps = decode_avi_mjpeg(buf, frame_indices=wanted)
+                # the rawv path validates dims inside decode_video_frames;
+                # mirror that here so mislabeled w/h metadata fails loudly
+                # instead of surfacing as a reshape error downstream
+                if len(sel) and sel.shape[1:3] != (h, w):
+                    raise ValueError(
+                        f"video {vid!r}: AVI stream is {sel.shape[2]}x"
+                        f"{sel.shape[1]} but row metadata says {w}x{h}")
             else:
                 sel = decode_video_frames(buf, w, h, nf, fmt)[wanted]
             for fi, frame in zip(wanted, sel):

@@ -64,6 +64,21 @@ def _cached(key, builder):
     return got
 
 
+def part_on_key(col: str, n_parts: int, out: str = "part"):
+    """map_batches fn appending a hash-partition column over ``col`` — the
+    ONE partitioner shared by every co-partition shuffle (Knuth
+    multiplicative spread of ``hash_key_u64`` so consecutive integer ids
+    don't land in consecutive parts). Keep it single-sourced: stages that
+    must co-partition (e.g. the components label join) silently stop
+    aligning if two copies ever diverge."""
+    def _p(batch: pa.Table) -> pa.Table:
+        p = (hash_key_u64(np.asarray(batch[col])) * np.uint64(2654435761)) \
+            % np.uint64(n_parts)
+        return batch.append_column(out, pa.array(p.astype(np.int64)))
+
+    return _p
+
+
 def hash_key_u64(arr) -> np.ndarray:
     """Dtype-agnostic, process-stable 64-bit key hash for partitioning and
     sampling. Integer keys pass through UNCHANGED (so integer-key behavior is
@@ -1398,14 +1413,20 @@ def cell_counts(
         compact_at = 1_000_000 if strict else min(1_000_000, auto_cap)
         acc: list = []
         acc_rows = 0
+        merged_rows = 0  # distinct keys after the last compaction
         flipped = False
         for b in partials.iter_batches(batch_format="pandas", batch_size=None):
             acc.append(b)
             acc_rows += len(b)
-            if acc_rows > compact_at:  # compact: driver holds merged keys only
+            # amortized compaction: once the merged frame itself exceeds
+            # compact_at, wait until the uncompacted stream doubles it —
+            # otherwise every batch would re-groupby the full merged frame
+            # (quadratic driver work for 1M-4M-key runs)
+            if acc_rows > max(compact_at, 2 * merged_rows):
                 merged = pd.concat(acc).groupby(key_col, as_index=False)["partial_n"].sum()
                 acc, acc_rows = [merged], len(merged)
-                if not strict and acc_rows > auto_cap:
+                merged_rows = len(merged)
+                if not strict and merged_rows > auto_cap:
                     flipped = True
                     break
         if not flipped:

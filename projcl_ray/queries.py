@@ -1309,6 +1309,24 @@ def q_filter(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _phash_tiles(tiles: rd.Dataset, tile_px: int = 64) -> rd.Dataset:
+    """Shared tail of every codec-ingest query: per-tile perceptual hash.
+    The ingest queries pin tile_phash equality against the raw path in
+    pytest, so all of them MUST hash identically — one helper, not five
+    hand-synced closures."""
+    from .images import decode_image, phash64
+
+    def tile_hash(batch: pa.Table) -> pa.Table:
+        hs = [phash64(decode_image(b, tile_px, tile_px, "raw"))
+              for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
+            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
+        })
+
+    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+
+
 @q("warp_tile_pipeline")
 def q_warp_tiles(sf_dir: str):
     from .images import synth_images_table
@@ -1348,7 +1366,7 @@ def q_geotiff_ingest(sf_dir: str):
     columns) → ops.ingest_geotiff (in-repo tiff.py codec recovers GeoRef
     from the tags) → warp → tile → per-tile phash. Deflate is lossless and
     the tags are float64, so tests pin tile bit-equality vs the raw path."""
-    from .images import decode_image, phash64, synth_images_table
+    from .images import decode_image, synth_images_table
     from .tiff import GeoTags, encode_tiff
 
     rows = synth_images_table(24, seed=42).to_pylist()
@@ -1362,15 +1380,7 @@ def q_geotiff_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, 64, 64, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+    return _phash_tiles(tiles)
 
 
 @q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
@@ -1381,7 +1391,7 @@ def q_gif_bmp_ingest(sf_dir: str):
     (gif.py, bmp.py) → warp → tile → per-tile phash. Both formats are
     lossless here, so tests pin bit-equality against the raw path on the
     same quantized pixels."""
-    from .images import decode_image, encode_image, phash64, synth_images_table
+    from .images import decode_image, encode_image, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
     for i, r in enumerate(rows):
@@ -1398,15 +1408,7 @@ def q_gif_bmp_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, 64, 64, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+    return _phash_tiles(tiles)
 
 
 @q("png_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
@@ -1417,7 +1419,7 @@ def q_png_ingest(sf_dir: str):
     pins pixel content; tests/test_warp.py proves bit-equality with the raw
     path (the reference ingests arbitrary images, projcl_warp.c:68-107)."""
     from . import png as png_mod
-    from .images import decode_image, phash64, synth_images_table
+    from .images import decode_image, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
     for i, r in enumerate(rows):
@@ -1430,15 +1432,7 @@ def q_png_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, 64, 64, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+    return _phash_tiles(tiles)
 
 
 @q("jpeg_ingest_warp_tile")  # lossy pixel op — rows-only (codec gate in pytest)
@@ -1447,7 +1441,7 @@ def q_jpeg_ingest(sf_dir: str):
     (in-repo pure-Python codec, projcl_ray/jpeg.py, q=92 4:2:0) → decode →
     warp → tile; per-tile phash pins pixel content deterministically."""
     from . import jpeg as jpeg_mod
-    from .images import decode_image, phash64, synth_images_table
+    from .images import decode_image, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
     for r in rows:
@@ -1458,15 +1452,7 @@ def q_jpeg_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, 64, 64, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+    return _phash_tiles(tiles)
 
 
 @q("jpeg_progressive_ingest_warp_tile")  # lossy pixel op — rows-only
@@ -1478,7 +1464,7 @@ def q_jpeg_progressive_ingest(sf_dir: str):
     vs baseline, so tests/test_warp.py pins this query's per-tile phashes
     equal to the baseline-JPEG query's."""
     from . import jpeg as jpeg_mod
-    from .images import decode_image, phash64, synth_images_table
+    from .images import decode_image, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
     for r in rows:
@@ -1490,15 +1476,7 @@ def q_jpeg_progressive_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, 64, 64, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+    return _phash_tiles(tiles)
 
 
 @q("flagship_cells")

@@ -435,6 +435,63 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _json_rows_screen(col) -> bool:
+    """True iff joining these JSON-string rows into one array is
+    alignment-safe. Scanned standalone, every row must (a) end outside any
+    string literal (even count of unescaped quotes, where a quote is
+    unescaped iff preceded by an even run of backslashes) and (b) have
+    brace/bracket depth, counted only outside string literals, that never
+    dips negative and returns to zero.
+
+    Every VALID JSON document satisfies (a)+(b), so clean batches always
+    take the fast path. Conversely, an element of the joined array can span
+    a row separator only if the separator sits inside a string (violates a)
+    or at depth > 1 (some earlier row left net-open brackets — violates b);
+    so when the screen passes, element i of a successful joined parse is
+    exactly row i (a junk-but-balanced row like ``1 2`` then fails the
+    joined parse outright, triggering the per-row fallback). Fully
+    vectorized over the column's flat UTF-8 buffer; quotes, backslashes and
+    brackets are ASCII so multi-byte codepoints can't alias them."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_string())
+    bufs = arr.buffers()  # validity, offsets, data
+    offs = np.frombuffer(bufs[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = (np.frombuffer(bufs[2], np.uint8, count=offs[-1])
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    data = data[offs[0]:]
+    offs = offs - offs[0]
+    if data.size == 0:
+        return True
+    idx = np.arange(data.size, dtype=np.int64)
+    row_start = np.repeat(offs[:-1], np.diff(offs))
+    # run of backslashes ending just before each position, reset at row starts
+    non_bs_or_start = (data != 92) | (idx == row_start)
+    last_stop = np.maximum.accumulate(np.where(non_bs_or_start, idx, -1))
+    prev_stop = np.concatenate([[-1], last_stop[:-1]])  # last stop BEFORE i
+    bs_run_before = idx - 1 - np.maximum(prev_stop, row_start - 1)
+    np.maximum(bs_run_before, 0, out=bs_run_before)
+    delim = (data == 34) & (bs_run_before % 2 == 0)
+    # empty rows have no positions, so segments between consecutive
+    # nonempty-row starts are exact (reduceat runs start[k]..start[k+1]-1)
+    nonempty = np.diff(offs) > 0
+    starts = offs[:-1][nonempty]
+    ends = offs[1:][nonempty]
+    # (a) per-row delimiter parity
+    if (np.add.reduceat(delim, starts) % 2).any():
+        return False
+    # outside-string mask: parity of delimiters strictly before each
+    # position, counted within the row
+    cum_delim = np.concatenate([[0], np.cumsum(delim)[:-1]])
+    outside = (cum_delim - cum_delim[row_start]) % 2 == 0
+    step = np.zeros(data.size, np.int64)
+    step[((data == 123) | (data == 91)) & outside] = 1    # { [
+    step[((data == 125) | (data == 93)) & outside] = -1   # } ]
+    depth = np.cumsum(step)
+    rel = depth - (depth[row_start] - step[row_start])  # depth within the row
+    return bool((rel[ends - 1] == 0).all()
+                and (np.minimum.reduceat(rel, starts) >= 0).all())
+
+
 def extract_json_field(ds: ray.data.Dataset, field: str, *, json_col: str = "props",
                        out: str | None = None) -> ray.data.Dataset:
     """Semi-structured extraction: pull one field out of a JSON-string column
@@ -445,7 +502,12 @@ def extract_json_field(ds: ray.data.Dataset, field: str, *, json_col: str = "pro
     The whole batch parses in ONE ``json.loads`` call (rows joined into a
     single JSON array → one pass of the C scanner) instead of a per-row
     Python loop; a batch containing malformed rows falls back to the per-row
-    path so those rows alone yield null."""
+    path so those rows alone yield null. The fast path is guarded by a
+    vectorized structural screen (`_json_rows_screen`) because an element
+    count match alone is NOT proof of alignment: a row with an unterminated
+    string or unclosed bracket can absorb the array separator and its
+    neighbor while another malformed row splits into two elements, keeping
+    the count right but shifting values onto the wrong rows."""
     import json
 
     out = out or field
@@ -462,13 +524,17 @@ def extract_json_field(ds: ray.data.Dataset, field: str, *, json_col: str = "pro
 
     def _extract(batch: pa.Table) -> pa.Table:
         raw = batch[json_col].to_pylist()
-        try:
-            docs = json.loads(
-                "[" + ",".join("null" if s is None else s for s in raw) + "]"
-            )
-            if len(docs) != len(raw):  # a malformed row shifted alignment
-                raise ValueError
-        except (ValueError, TypeError):
+        docs = None
+        if _json_rows_screen(batch[json_col]):
+            try:
+                docs = json.loads(
+                    "[" + ",".join("null" if s is None else s for s in raw) + "]"
+                )
+                if len(docs) != len(raw):
+                    docs = None
+            except (ValueError, TypeError):
+                docs = None
+        if docs is None:
             docs = _parse_rows(raw)
         vals = [d.get(field) if isinstance(d, dict) else None for d in docs]
         all_int = all(v is None or isinstance(v, int) for v in vals)

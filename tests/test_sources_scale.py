@@ -129,6 +129,21 @@ def test_extract_json_field(ray_session, sf_dir):
     tk = extract_json_field(tricky, "k").to_pandas()["k"]
     assert list(tk.isna()) == [True, True, False, True, False]
     assert tk.iloc[2] == "x" and tk.iloc[4] == "3"  # string path: str(v)
+    # count-preserving misalignment: row 0's unterminated string would absorb
+    # row 1 in the joined-array parse while row 1's comma splits it back into
+    # the right element COUNT — only the structural screen catches the shift
+    # (the per-row contract is [null, null, 2])
+    shifty = rd.from_items([
+        {"props": '"abc'}, {"props": 'x", {"k": 1}'}, {"props": '{"k": 2}'},
+    ])
+    sk = extract_json_field(shifty, "k").to_pandas()["k"]
+    assert list(sk.isna()) == [True, True, False] and sk.iloc[2] == 2
+    # same via unclosed brackets instead of strings
+    shifty2 = rd.from_items([
+        {"props": '{"k": [1'}, {"props": '2], "k": 9}'}, {"props": '{"k": 5}'},
+    ])
+    s2 = extract_json_field(shifty2, "k").to_pandas()["k"]
+    assert list(s2.isna()) == [True, True, False] and s2.iloc[2] == 5
 
 
 def test_semi_anti_join_keys(ray_session, sf_dir):

@@ -555,6 +555,33 @@ def test_jpeg_progressive_matches_baseline():
                          progressive=True) == pb  # deterministic
 
 
+def test_jpeg_baseline_multiscan_matches_interleaved():
+    """A baseline file with separate per-component scans (Ns=1, the layout
+    libjpeg scan scripts emit) carries the same coefficients as the
+    interleaved encode, so its decode must be bit-identical. Exercises the
+    T.81 §A.2 non-interleaved geometry: a single-component baseline scan
+    covers the component's OWN ceil-grid (wib×hib) in raster order, not the
+    padded interleaved MCU lattice — at 4:2:0 the two differ in both block
+    count and order."""
+    from projcl_ray import jpeg as J
+    from projcl_ray.images import synth_pixels
+
+    rng = np.random.default_rng(23)
+    for trial in range(10):
+        hh, ww = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        img = synth_pixels(trial, ww, hh)
+        src = [img, img[..., :3].copy(), img[..., 0].copy()][trial % 3]
+        for sub in (False, True):
+            base = J.decode_jpeg(J.encode_jpeg(src, quality=88, subsample=sub))
+            ms_bytes = J.encode_jpeg(src, quality=88, subsample=sub,
+                                     multiscan=True)
+            np.testing.assert_array_equal(J.decode_jpeg(ms_bytes), base)
+    # marker-level sanity: baseline SOF0 with one SOS per component
+    mb = J.encode_jpeg(synth_pixels(3, 40, 40)[..., :3], quality=90,
+                       multiscan=True)
+    assert b"\xFF\xC0" in mb and mb.count(b"\xFF\xDA") == 3
+
+
 def test_gif_codec_roundtrip_modes():
     """In-repo GIF codec: lossless round-trip for palette-sized images across
     sequential/interlaced, transparency (incl. opaque black present), LZW
