@@ -1,0 +1,113 @@
+/* Optional C hot loop for the in-repo JPEG codec (projcl_ray/jpeg.py).
+ *
+ * Baseline (SOF0/1) entropy decoding is inherently sequential — one Huffman
+ * code at a time — so it cannot be vectorized with numpy; this file is the
+ * same algorithm as jpeg._decode_baseline_scan's inner loop (ITU T.81 §F.2),
+ * bit-exact, compiled on first use by projcl_ray/fastcodec.py with the
+ * system C compiler. Pure-Python decode remains the always-available
+ * fallback and the parity oracle (tests pin bit-equality).
+ *
+ * Plain C ABI only (ctypes-loaded): no Python.h, no allocation; the caller
+ * owns every buffer. Entropy segments arrive unstuffed (0xFF00 removed) and
+ * padded with >= 8 zero bytes so bit reads never run off the buffer.
+ */
+#include <stdint.h>
+#include <string.h>
+
+typedef struct {
+    const uint8_t *d;
+    long pos; /* bit position */
+} BitReader;
+
+static inline uint32_t peek16(const BitReader *b) {
+    long byte = b->pos >> 3;
+    uint32_t chunk = ((uint32_t)b->d[byte] << 24) | ((uint32_t)b->d[byte + 1] << 16)
+                   | ((uint32_t)b->d[byte + 2] << 8) | (uint32_t)b->d[byte + 3];
+    return (chunk >> (16 - (b->pos & 7))) & 0xFFFFu;
+}
+
+static inline int32_t take(BitReader *b, int n) {
+    long byte = b->pos >> 3;
+    uint64_t chunk = ((uint64_t)b->d[byte] << 32) | ((uint64_t)b->d[byte + 1] << 24)
+                   | ((uint64_t)b->d[byte + 2] << 16) | ((uint64_t)b->d[byte + 3] << 8)
+                   | (uint64_t)b->d[byte + 4];
+    int32_t v = (int32_t)((chunk >> (40 - (b->pos & 7) - n)) & ((1u << n) - 1u));
+    b->pos += n;
+    return v;
+}
+
+static inline int32_t extend(int32_t v, int n) { /* T.81 F.2.2.1 EXTEND */
+    return v >= (1 << (n - 1)) ? v : v - (1 << n) + 1;
+}
+
+/* Decode one restart-free entropy segment of a baseline scan.
+ *
+ * data/nbytes: unstuffed segment + >=8 zero pad bytes (nbytes excludes pad).
+ * m_start/m_count: MCU (interleaved) or data-unit (single-component,
+ *   T.81 §A.2 non-interleaved) index range this segment covers.
+ * Per scan component c (ncomp <= 4): 65536-byte Huffman lookahead LUTs
+ *   (symbol, code length) for DC and AC, sampling factors vv/hh, blocks-per-
+ *   row bpr, ceil-grid width wib, and the int32 coefficient store
+ *   (n_blocks x 64, zigzag order) written in place.
+ * Returns 0, or negative on corrupt data (bad code / index overflow).
+ */
+long jpeg_baseline_segment(
+    const uint8_t *data, long nbytes,
+    long m_start, long m_count, long mcus_x, int interleaved, int ncomp,
+    const uint8_t **dsym, const uint8_t **dlen,
+    const uint8_t **asym, const uint8_t **alen,
+    const int32_t *vv, const int32_t *hh,
+    const int32_t *bpr, const int32_t *wib,
+    int32_t **stores)
+{
+    (void)nbytes;
+    BitReader br = {data, 0};
+    int32_t preds[4] = {0, 0, 0, 0};
+    for (long mi = 0; mi < m_count; mi++) {
+        long m = m_start + mi;
+        for (int c = 0; c < ncomp; c++) {
+            const uint8_t *ds = dsym[c], *dl = dlen[c];
+            const uint8_t *as = asym[c], *al = alen[c];
+            long blist[64];
+            int nb;
+            if (interleaved) {
+                long my = m / mcus_x, mx = m % mcus_x;
+                nb = 0;
+                for (int by = 0; by < vv[c]; by++)
+                    for (int bx = 0; bx < hh[c]; bx++)
+                        blist[nb++] = (my * vv[c] + by) * (long)bpr[c]
+                                    + (mx * hh[c] + bx);
+            } else {
+                nb = 1;
+                blist[0] = (m / wib[c]) * (long)bpr[c] + (m % wib[c]);
+            }
+            for (int bi = 0; bi < nb; bi++) {
+                int32_t *coef = stores[c] + blist[bi] * 64;
+                memset(coef, 0, 64 * sizeof(int32_t));
+                uint32_t pk = peek16(&br);
+                int size = ds[pk], ln = dl[pk];
+                if (ln == 0) return -1; /* bad DC Huffman code */
+                br.pos += ln;
+                if (size) preds[c] += extend(take(&br, size), size);
+                coef[0] = preds[c];
+                int k = 1;
+                while (k < 64) {
+                    pk = peek16(&br);
+                    int rs = as[pk];
+                    ln = al[pk];
+                    if (ln == 0) return -2; /* bad AC Huffman code */
+                    br.pos += ln;
+                    if (rs == 0x00) break;       /* EOB */
+                    if (rs == 0xF0) { k += 16; continue; } /* ZRL */
+                    k += rs >> 4;
+                    if (k > 63) return -3; /* AC index overflow */
+                    int sz = rs & 15;
+                    if (sz == 0) return -4; /* run/size with size 0 */
+                    coef[k] = extend(take(&br, sz), sz);
+                    k++;
+                }
+            }
+        }
+    }
+    return 0;
+}

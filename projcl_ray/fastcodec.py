@@ -1,0 +1,132 @@
+"""Optional C accelerator for the sequential codec hot loops.
+
+The in-repo codecs are pure Python by design (always available, the
+determinism oracle) — but entropy decoding is one-Huffman-code-at-a-time
+sequential and can't be vectorized with numpy, so on a compressed image
+corpus the Python loop is the throughput ceiling (~2 MB/s/core). When a
+system C compiler is present, `_fastcodec.c` (the same T.81 algorithm,
+bit-exact) is compiled ONCE per machine into a cached shared object and
+loaded with ctypes; every failure mode — no compiler, build error, load
+error, `PROJCL_NO_FASTCODEC=1` — falls back to the pure-Python path
+silently. Parity is pinned in tests/test_warp.py.
+
+Concurrency: Ray workers race to build on first use; each builds to a
+pid-suffixed temp file and `os.replace`s it into place (atomic on POSIX),
+so the winner is complete and the losers' work is discarded.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _disabled() -> bool:
+    return os.environ.get("PROJCL_NO_FASTCODEC", "").lower() in (
+        "1", "true", "yes", "on")
+
+
+def lib():
+    """The loaded shared object, building it first if needed; None when
+    unavailable for any reason (the caller uses the pure-Python path)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(os.path.dirname(__file__), "_fastcodec.c")
+    try:
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    cache_dir = os.environ.get("PROJCL_FASTCODEC_DIR", tempfile.gettempdir())
+    so = os.path.join(cache_dir, f"projcl_fastcodec_{tag}.so")
+    if not os.path.exists(so):
+        tmp = f"{so}.build{os.getpid()}"
+        try:
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
+    try:
+        L = ctypes.CDLL(so)
+        L.jpeg_baseline_segment.restype = ctypes.c_long
+        L.jpeg_baseline_segment.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,                 # data, nbytes
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,    # m_start/count, mcus_x
+            ctypes.c_int, ctypes.c_int,                     # interleaved, ncomp
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ]
+        _LIB = L
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def jpeg_baseline_scan(store, scan, huff, restart_interval, segments,
+                       mcus_x, mcus_y) -> bool:
+    """C path for jpeg._decode_baseline_scan. Returns True when it decoded
+    the scan (store mutated in place), False when the caller must run the
+    pure-Python loop. Raises the same ValueError the pure loop raises on
+    corrupt entropy data."""
+    if _disabled():
+        return False
+    L = lib()
+    if L is None:
+        return False
+    ncomp = len(scan)
+    if ncomp > 4:
+        return False
+    interleaved = ncomp > 1
+    units = mcus_x * mcus_y if interleaved else scan[0]["wib"] * scan[0]["hib"]
+    luts = {}
+    for s in scan:
+        for key in ((0, s["dc"]), (1, s["ac"])):
+            if key not in luts:
+                sym, ln = huff[key]
+                luts[key] = (sym.tobytes(), ln.tobytes())
+    dsym = (ctypes.c_char_p * ncomp)(*[luts[(0, s["dc"])][0] for s in scan])
+    dlen = (ctypes.c_char_p * ncomp)(*[luts[(0, s["dc"])][1] for s in scan])
+    asym = (ctypes.c_char_p * ncomp)(*[luts[(1, s["ac"])][0] for s in scan])
+    alen = (ctypes.c_char_p * ncomp)(*[luts[(1, s["ac"])][1] for s in scan])
+    vv = (ctypes.c_int32 * ncomp)(*[s["v"] for s in scan])
+    hh = (ctypes.c_int32 * ncomp)(*[s["h"] for s in scan])
+    bpr = (ctypes.c_int32 * ncomp)(*[s["bpr"] for s in scan])
+    wib = (ctypes.c_int32 * ncomp)(*[s["wib"] for s in scan])
+    arrs = []
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * ncomp)()
+    for i, s in enumerate(scan):
+        a = store[s["id"]]
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+        arrs.append(a)
+        ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    step = restart_interval or units
+    for i, seg in enumerate(segments):
+        m_start = i * step
+        m_count = min(step, units - m_start)
+        if m_count <= 0:
+            break
+        rc = L.jpeg_baseline_segment(
+            seg + b"\x00" * 8, len(seg), m_start, m_count, mcus_x,
+            int(interleaved), ncomp, dsym, dlen, asym, alen,
+            vv, hh, bpr, wib, ptrs)
+        if rc != 0:
+            raise ValueError(f"corrupt JPEG: entropy decode failed ({rc})")
+    return True

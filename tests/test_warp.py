@@ -469,6 +469,48 @@ def test_png_interlaced_and_deep_depths():
         P.decode_png(build(2, 1, 2, 2, b"\x00\x00"))  # 2-bit RGB is illegal
 
 
+def test_fastcodec_c_entropy_parity():
+    """The compiled entropy decoder (projcl_ray/_fastcodec.c, built on
+    first use when a C compiler exists) must be BIT-exact with the pure
+    Python loop it replaces — across 4:4:4/4:2:0, interleaved and
+    per-component multi-scan layouts, restart intervals absent, gray/RGB,
+    odd sizes. Skipped where no compiler is available; the
+    PROJCL_NO_FASTCODEC escape hatch is tested regardless."""
+    import os
+
+    import pytest
+
+    from projcl_ray import fastcodec, jpeg as J
+    from projcl_ray.images import synth_pixels
+
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+        assert not fastcodec.jpeg_baseline_scan(None, None, None, None,
+                                                None, 0, 0)
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        if fastcodec.lib() is None:
+            pytest.skip("no C compiler in this environment")
+        rng = np.random.default_rng(31)
+        for trial in range(8):
+            hh, ww = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+            img = synth_pixels(trial, ww, hh)
+            src = img[..., :3].copy() if trial % 2 else img[..., 0].copy()
+            for sub in (False, True):
+                for ms in (False, True):
+                    buf = J.encode_jpeg(src, quality=87, subsample=sub,
+                                        multiscan=ms)
+                    os.environ["PROJCL_NO_FASTCODEC"] = "1"
+                    pure = J.decode_jpeg(buf)
+                    os.environ["PROJCL_NO_FASTCODEC"] = ""
+                    np.testing.assert_array_equal(J.decode_jpeg(buf), pure)
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
+
+
 def test_fast_codec_swapin_parity():
     """Deployment knob: when PIL is importable, decode_image routes png/jpeg
     through it (libjpeg/zlib speed); the in-repo codecs remain the fallback
