@@ -40,6 +40,23 @@ static inline int32_t extend(int32_t v, int n) { /* T.81 F.2.2.1 EXTEND */
     return v >= (1 << (n - 1)) ? v : v - (1 << n) + 1;
 }
 
+/* Block index list for one MCU/data-unit of component c (shared by the
+ * baseline and progressive walks). Returns the block count. */
+static inline int block_list(long m, long mcus_x, int interleaved,
+                             int v, int h, int bpr, int wib, long *blist)
+{
+    if (interleaved) {
+        long my = m / mcus_x, mx = m % mcus_x;
+        int nb = 0;
+        for (int by = 0; by < v; by++)
+            for (int bx = 0; bx < h; bx++)
+                blist[nb++] = (my * v + by) * (long)bpr + (mx * h + bx);
+        return nb;
+    }
+    blist[0] = (m / wib) * (long)bpr + (m % wib);
+    return 1;
+}
+
 /* Decode one restart-free entropy segment of a baseline scan.
  *
  * data/nbytes: unstuffed segment + >=8 zero pad bytes (nbytes excludes pad).
@@ -69,18 +86,8 @@ long jpeg_baseline_segment(
             const uint8_t *ds = dsym[c], *dl = dlen[c];
             const uint8_t *as = asym[c], *al = alen[c];
             long blist[64];
-            int nb;
-            if (interleaved) {
-                long my = m / mcus_x, mx = m % mcus_x;
-                nb = 0;
-                for (int by = 0; by < vv[c]; by++)
-                    for (int bx = 0; bx < hh[c]; bx++)
-                        blist[nb++] = (my * vv[c] + by) * (long)bpr[c]
-                                    + (mx * hh[c] + bx);
-            } else {
-                nb = 1;
-                blist[0] = (m / wib[c]) * (long)bpr[c] + (m % wib[c]);
-            }
+            int nb = block_list(m, mcus_x, interleaved, vv[c], hh[c],
+                                bpr[c], wib[c], blist);
             for (int bi = 0; bi < nb; bi++) {
                 int32_t *coef = stores[c] + blist[bi] * 64;
                 memset(coef, 0, 64 * sizeof(int32_t));
@@ -106,6 +113,140 @@ long jpeg_baseline_segment(
                     coef[k] = extend(take(&br, sz), sz);
                     k++;
                 }
+            }
+        }
+    }
+    return 0;
+}
+
+/* One restart-free segment of a progressive DC scan (T.81 G.1.2.1/G.1.2.2,
+ * first pass when Ah==0 else refinement). Same component/geometry layout as
+ * jpeg_baseline_segment. */
+long jpeg_prog_dc_segment(
+    const uint8_t *data,
+    long m_start, long m_count, long mcus_x, int interleaved, int ncomp,
+    int Ah, int Al,
+    const uint8_t **dsym, const uint8_t **dlen,
+    const int32_t *vv, const int32_t *hh,
+    const int32_t *bpr, const int32_t *wib,
+    int32_t **stores)
+{
+    BitReader br = {data, 0};
+    int32_t preds[4] = {0, 0, 0, 0};
+    for (long mi = 0; mi < m_count; mi++) {
+        long m = m_start + mi;
+        for (int c = 0; c < ncomp; c++) {
+            long blist[64];
+            int nb = block_list(m, mcus_x, interleaved, vv[c], hh[c],
+                                bpr[c], wib[c], blist);
+            for (int bi = 0; bi < nb; bi++) {
+                int32_t *coef = stores[c] + blist[bi] * 64;
+                if (Ah == 0) {
+                    uint32_t pk = peek16(&br);
+                    int size = dsym[c][pk], ln = dlen[c][pk];
+                    if (ln == 0) return -1;
+                    br.pos += ln;
+                    if (size) preds[c] += extend(take(&br, size), size);
+                    coef[0] = preds[c] << Al;
+                } else if (take(&br, 1)) {
+                    coef[0] |= (int32_t)1 << Al;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+/* One restart-free segment of a progressive AC scan (single component,
+ * non-interleaved; T.81 G.1.2.2-G.1.2.3 with EOB runs and, on refinement,
+ * correction bits — mirrors libjpeg's decode_mcu_AC_first/refine and the
+ * pure-Python loop in jpeg._decode_progressive_scan bit for bit). */
+long jpeg_prog_ac_segment(
+    const uint8_t *data,
+    long m_start, long m_count,
+    int Ss, int Se, int Ah, int Al,
+    const uint8_t *asym, const uint8_t *alen,
+    int32_t bpr, int32_t wib,
+    int32_t *store)
+{
+    BitReader br = {data, 0};
+    long eobrun = 0;
+    int32_t p1 = (int32_t)1 << Al, n1 = -((int32_t)1 << Al);
+    for (long mi = 0; mi < m_count; mi++) {
+        long m = m_start + mi;
+        int32_t *blk = store + ((m / wib) * (long)bpr + (m % wib)) * 64;
+        if (Ah == 0) { /* first scan for this band */
+            if (eobrun > 0) { eobrun--; continue; }
+            int k = Ss;
+            while (k <= Se) {
+                uint32_t pk = peek16(&br);
+                int rs = asym[pk], ln = alen[pk];
+                if (ln == 0) return -2;
+                br.pos += ln;
+                int r4 = rs >> 4, sz = rs & 15;
+                if (sz) {
+                    k += r4;
+                    if (k > Se) return -3;
+                    blk[k] = extend(take(&br, sz), sz) * p1;
+                    k++;
+                } else if (r4 != 15) { /* EOBn */
+                    eobrun = ((long)1 << r4) - 1;
+                    if (r4) eobrun += take(&br, r4);
+                    break;
+                } else { /* ZRL */
+                    k += 16;
+                }
+            }
+        } else { /* refinement */
+            int k = Ss;
+            if (eobrun == 0) {
+                while (k <= Se) {
+                    uint32_t pk = peek16(&br);
+                    int rs = asym[pk], ln = alen[pk];
+                    if (ln == 0) return -2;
+                    br.pos += ln;
+                    int r4 = rs >> 4, sz = rs & 15;
+                    int32_t val = 0;
+                    if (sz == 0) {
+                        if (r4 != 15) { /* EOBn: tail handled below */
+                            eobrun = (long)1 << r4;
+                            if (r4) eobrun += take(&br, r4);
+                            break;
+                        }
+                        /* ZRL: skip 16 zero-history coefficients */
+                    } else {
+                        val = take(&br, 1) ? p1 : n1;
+                    }
+                    /* advance over r4 zero-history coefficients, applying
+                     * correction bits to nonzero-history ones passed */
+                    while (k <= Se) {
+                        int32_t cv = blk[k];
+                        if (cv != 0) {
+                            if (take(&br, 1) && (cv & p1) == 0)
+                                blk[k] = cv + (cv >= 0 ? p1 : n1);
+                        } else {
+                            if (r4 == 0) break;
+                            r4--;
+                        }
+                        k++;
+                    }
+                    if (val) {
+                        if (k > Se) return -3;
+                        blk[k] = val;
+                    }
+                    k++;
+                }
+            }
+            if (eobrun > 0) {
+                while (k <= Se) { /* tail: correction bits only */
+                    int32_t cv = blk[k];
+                    if (cv != 0) {
+                        if (take(&br, 1) && (cv & p1) == 0)
+                            blk[k] = cv + (cv >= 0 ? p1 : n1);
+                    }
+                    k++;
+                }
+                eobrun--;
             }
         }
     }

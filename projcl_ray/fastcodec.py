@@ -63,16 +63,35 @@ def lib():
             return None
     try:
         L = ctypes.CDLL(so)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        strs = ctypes.POINTER(ctypes.c_char_p)
         L.jpeg_baseline_segment.restype = ctypes.c_long
         L.jpeg_baseline_segment.argtypes = [
             ctypes.c_char_p, ctypes.c_long,                 # data, nbytes
             ctypes.c_long, ctypes.c_long, ctypes.c_long,    # m_start/count, mcus_x
             ctypes.c_int, ctypes.c_int,                     # interleaved, ncomp
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            strs, strs, strs, strs,                         # dc/ac LUTs
+            i32p, i32p, i32p, i32p,                         # v, h, bpr, wib
+            ctypes.POINTER(i32p),
+        ]
+        L.jpeg_prog_dc_segment.restype = ctypes.c_long
+        L.jpeg_prog_dc_segment.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,                     # interleaved, ncomp
+            ctypes.c_int, ctypes.c_int,                     # Ah, Al
+            strs, strs,                                     # dc LUTs
+            i32p, i32p, i32p, i32p,
+            ctypes.POINTER(i32p),
+        ]
+        L.jpeg_prog_ac_segment.restype = ctypes.c_long
+        L.jpeg_prog_ac_segment.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # Ss Se Ah Al
+            ctypes.c_char_p, ctypes.c_char_p,               # ac LUT
+            ctypes.c_int32, ctypes.c_int32,                 # bpr, wib
+            i32p,
         ]
         _LIB = L
     except OSError:
@@ -127,6 +146,78 @@ def jpeg_baseline_scan(store, scan, huff, restart_interval, segments,
             seg + b"\x00" * 8, len(seg), m_start, m_count, mcus_x,
             int(interleaved), ncomp, dsym, dlen, asym, alen,
             vv, hh, bpr, wib, ptrs)
+        if rc != 0:
+            raise ValueError(f"corrupt JPEG: entropy decode failed ({rc})")
+    return True
+
+
+def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
+                          restart_interval, segments, mcus_x, mcus_y) -> bool:
+    """C path for one progressive (SOF2) scan — DC first/refine (interleaved
+    allowed) or AC first/refine with EOB runs. Same return/raise contract
+    as jpeg_baseline_scan; invalid scan headers return False so the pure
+    loop raises its specific error."""
+    if _disabled():
+        return False
+    L = lib()
+    if L is None:
+        return False
+    if Ss == 0:  # DC scan
+        if Se != 0 or len(scan) > 4:
+            return False
+        ncomp = len(scan)
+        interleaved = ncomp > 1
+        units = (mcus_x * mcus_y if interleaved
+                 else scan[0]["wib"] * scan[0]["hib"])
+        tabs = [huff[(0, s["dc"])] for s in scan] if Ah == 0 else None
+        syms = ([t[0].tobytes() for t in tabs] if tabs
+                else [b""] * ncomp)  # refinement reads raw bits only
+        lens = [t[1].tobytes() for t in tabs] if tabs else [b""] * ncomp
+        dsym = (ctypes.c_char_p * ncomp)(*syms)
+        dlen = (ctypes.c_char_p * ncomp)(*lens)
+        vv = (ctypes.c_int32 * ncomp)(*[s["v"] for s in scan])
+        hh = (ctypes.c_int32 * ncomp)(*[s["h"] for s in scan])
+        bpr = (ctypes.c_int32 * ncomp)(*[s["bpr"] for s in scan])
+        wib = (ctypes.c_int32 * ncomp)(*[s["wib"] for s in scan])
+        ptrs = (ctypes.POINTER(ctypes.c_int32) * ncomp)()
+        arrs = []
+        for i, s in enumerate(scan):
+            a = store[s["id"]]
+            assert a.dtype == np.int32 and a.flags.c_contiguous
+            arrs.append(a)
+            ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        step = restart_interval or units
+        for i, seg in enumerate(segments):
+            m_start = i * step
+            m_count = min(step, units - m_start)
+            if m_count <= 0:
+                break
+            rc = L.jpeg_prog_dc_segment(
+                seg + b"\x00" * 8, m_start, m_count, mcus_x,
+                int(interleaved), ncomp, Ah, Al, dsym, dlen,
+                vv, hh, bpr, wib, ptrs)
+            if rc != 0:
+                raise ValueError(f"corrupt JPEG: entropy decode failed ({rc})")
+        return True
+    # AC scan: single component, non-interleaved
+    if len(scan) != 1:
+        return False
+    s = scan[0]
+    a = store[s["id"]]
+    assert a.dtype == np.int32 and a.flags.c_contiguous
+    sym, ln = huff[(1, s["ac"])]
+    sym_b, len_b = sym.tobytes(), ln.tobytes()
+    units = s["wib"] * s["hib"]
+    step = restart_interval or units
+    for i, seg in enumerate(segments):
+        m_start = i * step
+        m_count = min(step, units - m_start)
+        if m_count <= 0:
+            break
+        rc = L.jpeg_prog_ac_segment(
+            seg + b"\x00" * 8, m_start, m_count, Ss, Se, Ah, Al,
+            sym_b, len_b, s["bpr"], s["wib"],
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if rc != 0:
             raise ValueError(f"corrupt JPEG: entropy decode failed ({rc})")
     return True

@@ -497,9 +497,12 @@ def test_fastcodec_c_entropy_parity():
             img = synth_pixels(trial, ww, hh)
             src = img[..., :3].copy() if trial % 2 else img[..., 0].copy()
             for sub in (False, True):
-                for ms in (False, True):
-                    buf = J.encode_jpeg(src, quality=87, subsample=sub,
-                                        multiscan=ms)
+                bufs = [J.encode_jpeg(src, quality=87, subsample=sub,
+                                      multiscan=ms) for ms in (False, True)]
+                # progressive: DC first/refine + AC first/refine + EOB runs
+                bufs.append(J.encode_jpeg(src, quality=87, subsample=sub,
+                                          progressive=True))
+                for buf in bufs:
                     os.environ["PROJCL_NO_FASTCODEC"] = "1"
                     pure = J.decode_jpeg(buf)
                     os.environ["PROJCL_NO_FASTCODEC"] = ""
