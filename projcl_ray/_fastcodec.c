@@ -252,3 +252,73 @@ long jpeg_prog_ac_segment(
     }
     return 0;
 }
+
+/* ---- FLAC (RFC 9639) hot loops — same algorithms as projcl_ray/flac.py,
+ * bit-exact; Rice coding and LPC restoration are sample-sequential, the
+ * two stages numpy can't vectorize. ---- */
+
+/* Decode n Rice(k) residuals (unary quotient + k remainder bits,
+ * un-zigzagged) from an MSB-first bitstream. Returns the new bit position
+ * or -1 on truncation. */
+long flac_rice(const uint8_t *data, long nbits, long pos,
+               long n, int k, int64_t *out)
+{
+    for (long i = 0; i < n; i++) {
+        long q = 0;
+        while (pos < nbits && !((data[pos >> 3] >> (7 - (pos & 7))) & 1)) {
+            pos++;
+            q++;
+        }
+        if (pos >= nbits) return -1;
+        pos++; /* the terminating 1-bit */
+        uint64_t u = (uint64_t)q << k;
+        if (k) {
+            if (pos + k > nbits) return -1;
+            uint64_t rem = 0;
+            for (int b = 0; b < k; b++)
+                rem = (rem << 1)
+                    | ((data[(pos + b) >> 3] >> (7 - ((pos + b) & 7))) & 1u);
+            pos += k;
+            u |= rem;
+        }
+        out[i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+    }
+    return pos;
+}
+
+/* x[i] = res[i] + (sum_j coefs[j] * x[i-1-j]) >> shift, exact integer math
+ * (accumulator bounded by order * 2^precision * 2^bps << 2^63). out must
+ * have room for order + n samples; the first order are the warmup. */
+void flac_lpc_restore(const int64_t *warm, int order, const int64_t *res,
+                      long n, const int32_t *coefs, int shift, int64_t *out)
+{
+    for (int i = 0; i < order; i++) out[i] = warm[i];
+    for (long i = 0; i < n; i++) {
+        int64_t acc = 0;
+        const int64_t *x = out + order + i;
+        for (int j = 0; j < order; j++)
+            acc += (int64_t)coefs[j] * x[-1 - j];
+        out[order + i] = res[i] + (acc >> shift);
+    }
+}
+
+/* CRC-16/BUYPASS (poly 0x8005, MSB-first, init 0) — RFC 9639 frame CRC.
+ * Byte-sequential; the table mirrors flac._CRC16. */
+long flac_crc16(const uint8_t *data, long n)
+{
+    static uint16_t tbl[256];
+    static int init = 0;
+    if (!init) {
+        for (int i = 0; i < 256; i++) {
+            uint32_t c = (uint32_t)i << 8;
+            for (int b = 0; b < 8; b++)
+                c = (c & 0x8000u) ? ((c << 1) ^ 0x8005u) : (c << 1);
+            tbl[i] = (uint16_t)c;
+        }
+        init = 1;
+    }
+    uint16_t c = 0;
+    for (long i = 0; i < n; i++)
+        c = tbl[(c >> 8) ^ data[i]] ^ (uint16_t)(c << 8);
+    return c;
+}

@@ -93,6 +93,19 @@ def lib():
             ctypes.c_int32, ctypes.c_int32,                 # bpr, wib
             i32p,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.flac_rice.restype = ctypes.c_long
+        L.flac_rice.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,  # data, nbits, pos
+            ctypes.c_long, ctypes.c_int, i64p,              # n, k, out
+        ]
+        L.flac_lpc_restore.restype = None
+        L.flac_lpc_restore.argtypes = [
+            i64p, ctypes.c_int, i64p, ctypes.c_long,        # warm, order, res, n
+            i32p, ctypes.c_int, i64p,                       # coefs, shift, out
+        ]
+        L.flac_crc16.restype = ctypes.c_long
+        L.flac_crc16.argtypes = [ctypes.c_char_p, ctypes.c_long]
         _LIB = L
     except OSError:
         _LIB = None
@@ -221,3 +234,52 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
         if rc != 0:
             raise ValueError(f"corrupt JPEG: entropy decode failed ({rc})")
     return True
+
+
+def flac_rice(data: bytes, nbits: int, pos: int, n: int, k: int):
+    """C path for flac._rice_decode: returns (values int64 array, new bit
+    position) or None when unavailable. Raises on truncation like the pure
+    loop."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    out = np.empty(n, np.int64)
+    rc = L.flac_rice(data, nbits, pos, n, k,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError("corrupt FLAC: truncated Rice partition")
+    return out, int(rc)
+
+
+def flac_crc16(data: bytes):
+    """C path for flac._crc16 (byte-sequential table CRC); None when
+    unavailable."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    return int(L.flac_crc16(data, len(data)))
+
+
+def flac_lpc_restore(warm, res, coefs, shift):
+    """C path for flac._lpc_restore: returns the restored int64 array or
+    None when unavailable."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    warm = np.ascontiguousarray(warm, np.int64)
+    res = np.ascontiguousarray(res, np.int64)
+    cf = np.ascontiguousarray(coefs, np.int32)
+    out = np.empty(len(warm) + len(res), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.flac_lpc_restore(
+        warm.ctypes.data_as(i64p), len(warm),
+        res.ctypes.data_as(i64p), len(res),
+        cf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), shift,
+        out.ctypes.data_as(i64p))
+    return out

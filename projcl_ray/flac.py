@@ -67,6 +67,11 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
+    from . import fastcodec
+
+    got = fastcodec.flac_crc16(data)
+    if got is not None:
+        return got
     c = 0
     for b in data:
         c = int(_CRC16[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
@@ -118,15 +123,30 @@ class _BitReader:
 
     def __init__(self, data: bytes):
         self.data = data
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.ones = np.flatnonzero(self.bits)
+        self.nbits = len(data) * 8
+        # bits/ones are LAZY: the C Rice path never touches them, and the
+        # unpackbits+flatnonzero over the whole stream was ~25% of decode
+        self._bits = None
+        self._ones = None
         self.pos = 0
+
+    @property
+    def bits(self) -> np.ndarray:
+        if self._bits is None:
+            self._bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
+        return self._bits
+
+    @property
+    def ones(self) -> np.ndarray:
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.bits)
+        return self._ones
 
     def take(self, n: int) -> int:
         if n == 0:
             return 0
         p, q = self.pos, self.pos + n
-        if q > len(self.bits):
+        if q > self.nbits:
             raise ValueError("corrupt FLAC: truncated stream")
         first, last = p >> 3, (q - 1) >> 3
         chunk = int.from_bytes(self.data[first : last + 1], "big")
@@ -138,12 +158,15 @@ class _BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
-        j = int(np.searchsorted(self.ones, self.pos))
-        if j >= len(self.ones):
+        # direct byte-wise scan (runs are tiny — wasted-bits counts); avoids
+        # forcing the lazy ones index
+        p, n, data = self.pos, self.nbits, self.data
+        while p < n and not (data[p >> 3] >> (7 - (p & 7))) & 1:
+            p += 1
+        if p >= n:
             raise ValueError("corrupt FLAC: truncated unary code")
-        t = int(self.ones[j])
-        q = t - self.pos
-        self.pos = t + 1
+        q = p - self.pos
+        self.pos = p + 1
         return q
 
     def align(self):
@@ -214,9 +237,20 @@ def _rice_encode_bits(res: np.ndarray, k: int) -> np.ndarray:
 def _rice_decode(r: _BitReader, n: int, k: int) -> np.ndarray:
     """n Rice(k) values from the stream — the unary walk advances through
     the precomputed ones index (linear in ones consumed); remainders are
-    gathered vectorized afterwards."""
+    gathered vectorized afterwards.
+
+    Rice coding is value-sequential (each quotient's length depends on the
+    bits before it), so the compiled bit-exact version takes over when
+    available (projcl_ray/fastcodec.py); this body is the fallback and
+    parity oracle."""
     if n == 0:
         return np.zeros(0, np.int64)
+    from . import fastcodec
+
+    got = fastcodec.flac_rice(r.data, r.nbits, r.pos, n, k)
+    if got is not None:
+        vals, r.pos = got
+        return vals
     ones, bits = r.ones, r.bits
     j = int(np.searchsorted(ones, r.pos))
     starts = np.empty(n, np.int64)
@@ -269,7 +303,16 @@ def _lpc_restore(warm: np.ndarray, res: np.ndarray, coefs: list[int],
     """x[i] = res[i] + (Σ c_j·x[i-1-j]) >> shift — inherently sequential
     (each sample feeds the next prediction); exact int math. The inner dot
     runs at C speed via ``sum(map(mul, coefs, window))`` over a rolling
-    most-recent-first window (order ≤ 32, so the insert/pop is cheap)."""
+    most-recent-first window (order ≤ 32, so the insert/pop is cheap).
+    Delegates to the compiled bit-exact version when available
+    (projcl_ray/fastcodec.py); this body is the fallback and parity
+    oracle."""
+    from . import fastcodec
+
+    got = fastcodec.flac_lpc_restore(np.asarray(warm, np.int64), res,
+                                     coefs, shift)
+    if got is not None:
+        return got
     from operator import mul
 
     out = list(map(int, warm))
@@ -616,7 +659,7 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
     r = _BitReader(buf[pos:])
     chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
     got = 0
-    nbits = len(r.bits)
+    nbits = r.nbits
     while (total == 0 or got < total) and r.pos + 48 <= nbits:
         frame_start = r.pos >> 3
         if r.take(14) != 0b11111111111110:

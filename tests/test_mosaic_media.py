@@ -262,6 +262,47 @@ def test_flac_codec_roundtrip_matrix():
         decode_flac(b"definitely not flac")
 
 
+def test_flac_fastcodec_c_parity():
+    """The compiled Rice/LPC/CRC path (projcl_ray/fastcodec.py) must decode
+    bit-identically to the pure-Python loops across predictor types, stereo
+    modes and bit depths. Skipped where no C compiler is available."""
+    import os
+
+    import pytest
+
+    from projcl_ray import fastcodec
+    from projcl_ray.flac import decode_flac, encode_flac
+
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        if fastcodec.lib() is None:
+            pytest.skip("no C compiler in this environment")
+        rng = np.random.default_rng(17)
+        for trial in range(8):
+            n = int(rng.integers(1, 9000))
+            ch = int(rng.integers(1, 3))
+            bps = [8, 16, 24][trial % 3]
+            amp = 2 ** (bps - 2)
+            sig = np.clip(
+                amp * 0.6 * np.sin(2 * np.pi * 300 * np.arange(n) / 44100)
+                + rng.normal(0, amp * 0.05, n),
+                -2 ** (bps - 1), 2 ** (bps - 1) - 1).astype(np.int64)
+            pcm = np.stack([sig, -sig // 2], -1)[:, :ch].astype(np.int32)
+            buf = encode_flac(pcm if ch > 1 else pcm[:, 0], 44100, bps=bps)
+            os.environ["PROJCL_NO_FASTCODEC"] = "1"
+            pure = decode_flac(buf)
+            os.environ["PROJCL_NO_FASTCODEC"] = ""
+            fast = decode_flac(buf)
+            np.testing.assert_array_equal(fast[0], pure[0])
+            assert fast[1:] == pure[1:]
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
+
+
 def test_flac_features_query_matches_wav(ray_session):
     """media_flac_features must produce bit-identical feature rows to
     media_wav_features: both containers are lossless over the same pcm16

@@ -71,23 +71,25 @@ def main(out_path: str) -> None:
               f"dec {res[name]['dec_MBps']:8.2f} MB/s   "
               f"({len(buf)} bytes)")
 
+    # base rows measure the PURE-python loops (the determinism oracle);
+    # _cfast rows re-measure decode with the compiled entropy/Rice paths
+    # (projcl_ray/fastcodec.py) when a compiler exists
+    os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("png_f4", lambda: png.encode_png(img, filter_type=4),
            png.decode_png, raw_mb)
-    # jpeg decode twice: pure-Python loop (the determinism oracle) and the
-    # compiled entropy path (projcl_ray/fastcodec.py) when a compiler exists
-    os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("jpeg_q90", lambda: jpeg.encode_jpeg(img, quality=90),
            jpeg.decode_jpeg, raw_mb)
     record("jpeg_progressive",
            lambda: jpeg.encode_jpeg(img, quality=90, progressive=True),
            jpeg.decode_jpeg, raw_mb)
-    os.environ["PROJCL_NO_FASTCODEC"] = ""
     if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
         record("jpeg_q90_cfast", lambda: jpeg.encode_jpeg(img, quality=90),
                jpeg.decode_jpeg, raw_mb)
         record("jpeg_progressive_cfast",
                lambda: jpeg.encode_jpeg(img, quality=90, progressive=True),
                jpeg.decode_jpeg, raw_mb)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
     # GIF is palette-based: quantize to 4 levels/channel (64 colors), RGBA.
     img64 = ((img >> 6) << 6) + 32
     rgba = np.dstack([img64, np.full(img.shape[:2], 255, np.uint8)])
@@ -109,11 +111,23 @@ def main(out_path: str) -> None:
            media.decode_wav, pcm_mb)
     record("flac", lambda: flac.encode_flac(pcm, 44100), flac.decode_flac,
            pcm_mb)
+    if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        record("flac_cfast", lambda: flac.encode_flac(pcm, 44100),
+               flac.decode_flac, pcm_mb)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
 
     frames = np.stack([np.roll(_image(64, seed=s), s, axis=1)
                        for s in range(12)])
     record("avi_mjpeg", lambda: avi.encode_avi_mjpeg(frames, fps=12),
            avi.decode_avi_mjpeg, frames.nbytes / 1e6)
+    if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        record("avi_mjpeg_cfast",
+               lambda: avi.encode_avi_mjpeg(frames, fps=12),
+               avi.decode_avi_mjpeg, frames.nbytes / 1e6)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    os.environ.pop("PROJCL_NO_FASTCODEC", None)
 
     out = {
         "metric": ("single-core codec throughput (in-repo pure-Python "
