@@ -322,3 +322,57 @@ long flac_crc16(const uint8_t *data, long n)
         c = tbl[(c >> 8) ^ data[i]] ^ (uint16_t)(c << 8);
     return c;
 }
+
+/* ---- PNG scanline unfiltering (RFC 2083 §6) — row-sequential with
+ * in-row left dependencies for filters 1/3/4; mod-256 via uint8 wrap.
+ * stream is h*(stride+1) bytes (leading filter byte per row), out is
+ * h*stride reconstructed bytes. Returns 0 or -(bad filter type). ---- */
+long png_unfilter(const uint8_t *stream, long h, long stride, int bpp,
+                  uint8_t *out)
+{
+    for (long y = 0; y < h; y++) {
+        const uint8_t *raw = stream + y * (stride + 1) + 1;
+        int f = raw[-1];
+        uint8_t *cur = out + y * stride;
+        const uint8_t *up = y ? cur - stride : 0;
+        switch (f) {
+        case 0:
+            memcpy(cur, raw, (size_t)stride);
+            break;
+        case 1: /* Sub */
+            for (long x = 0; x < stride; x++)
+                cur[x] = (uint8_t)(raw[x] + (x >= bpp ? cur[x - bpp] : 0));
+            break;
+        case 2: /* Up */
+            if (up)
+                for (long x = 0; x < stride; x++)
+                    cur[x] = (uint8_t)(raw[x] + up[x]);
+            else
+                memcpy(cur, raw, (size_t)stride);
+            break;
+        case 3: /* Average */
+            for (long x = 0; x < stride; x++) {
+                int a = x >= bpp ? cur[x - bpp] : 0;
+                int b = up ? up[x] : 0;
+                cur[x] = (uint8_t)(raw[x] + ((a + b) >> 1));
+            }
+            break;
+        case 4: /* Paeth */
+            for (long x = 0; x < stride; x++) {
+                int a = x >= bpp ? cur[x - bpp] : 0;
+                int b = up ? up[x] : 0;
+                int c = (up && x >= bpp) ? up[x - bpp] : 0;
+                int p = a + b - c;
+                int pa = p >= a ? p - a : a - p;
+                int pb = p >= b ? p - b : b - p;
+                int pc = p >= c ? p - c : c - p;
+                int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                cur[x] = (uint8_t)(raw[x] + pr);
+            }
+            break;
+        default:
+            return -(long)f;
+        }
+    }
+    return 0;
+}

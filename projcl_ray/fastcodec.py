@@ -106,6 +106,11 @@ def lib():
         ]
         L.flac_crc16.restype = ctypes.c_long
         L.flac_crc16.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        L.png_unfilter.restype = ctypes.c_long
+        L.png_unfilter.argtypes = [
+            u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int, u8p,
+        ]
         _LIB = L
     except OSError:
         _LIB = None
@@ -282,4 +287,23 @@ def flac_lpc_restore(warm, res, coefs, shift):
         res.ctypes.data_as(i64p), len(res),
         cf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), shift,
         out.ctypes.data_as(i64p))
+    return out
+
+
+def png_unfilter(stream, h: int, stride: int, bpp: int):
+    """C path for png._unfilter: returns the (h, stride) uint8 array or
+    None when unavailable. Raises ValueError on a bad filter type like the
+    pure path."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    stream = np.ascontiguousarray(stream, np.uint8)
+    out = np.empty((h, stride), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = L.png_unfilter(stream.ctypes.data_as(u8p), h, stride, bpp,
+                        out.ctypes.data_as(u8p))
+    if rc != 0:
+        raise ValueError(f"corrupt PNG: filter {-rc}")
     return out

@@ -133,7 +133,16 @@ def _unfilter(stream: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     cells with smaller y+col: all cells on a diagonal compute together
     (np.select on the row's filter type), h+cols diagonals total instead
     of a per-pixel Python loop. Arithmetic is int16 with &255 stores,
-    the spec's exact mod-256 semantics."""
+    the spec's exact mod-256 semantics.
+
+    Delegates to the compiled row-sequential version when available
+    (projcl_ray/fastcodec.py — no per-diagonal numpy overhead); this body
+    is the fallback and parity oracle."""
+    from . import fastcodec
+
+    got = fastcodec.png_unfilter(stream, h, stride, bpp)
+    if got is not None:
+        return got
     rows = stream.reshape(h, stride + 1)
     ftypes = rows[:, 0].astype(np.int16)
     if np.any(ftypes > 4):

@@ -507,6 +507,20 @@ def test_fastcodec_c_entropy_parity():
                     pure = J.decode_jpeg(buf)
                     os.environ["PROJCL_NO_FASTCODEC"] = ""
                     np.testing.assert_array_equal(J.decode_jpeg(buf), pure)
+        # PNG unfilter: the C row-sequential loop vs the numpy wavefront,
+        # across all 5 filters and Adam7
+        from projcl_ray import png as P
+
+        for trial in range(4):
+            hh, ww = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+            img = synth_pixels(100 + trial, ww, hh)
+            for ft in (0, 1, 2, 3, 4):
+                for il in (False, True):
+                    buf = P.encode_png(img, filter_type=ft, interlace=il)
+                    os.environ["PROJCL_NO_FASTCODEC"] = "1"
+                    pure = P.decode_png(buf)
+                    os.environ["PROJCL_NO_FASTCODEC"] = ""
+                    np.testing.assert_array_equal(P.decode_png(buf), pure)
     finally:
         if old is None:
             os.environ.pop("PROJCL_NO_FASTCODEC", None)

@@ -77,6 +77,11 @@ def main(out_path: str) -> None:
     os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("png_f4", lambda: png.encode_png(img, filter_type=4),
            png.decode_png, raw_mb)
+    if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        record("png_f4_cfast", lambda: png.encode_png(img, filter_type=4),
+               png.decode_png, raw_mb)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("jpeg_q90", lambda: jpeg.encode_jpeg(img, quality=90),
            jpeg.decode_jpeg, raw_mb)
     record("jpeg_progressive",
