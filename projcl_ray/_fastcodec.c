@@ -376,3 +376,74 @@ long png_unfilter(const uint8_t *stream, long h, long stride, int bpp,
     }
     return 0;
 }
+
+/* ---- TIFF 6.0 §13 LZW decode (MSB-first codes, EARLY CHANGE: width grows
+ * one code sooner than GIF) — table-building is inherently sequential.
+ * Mirrors tiff._lzw_decode_tiff; codes never exceed 4095 (width <= 12).
+ * Returns bytes written (EOI may end the stream short of expected) or
+ * negative on truncation/corrupt codes. ---- */
+long tiff_lzw_decode(const uint8_t *data, long n, uint8_t *out, long expected)
+{
+    /* stack-local (32 KB): ctypes calls run without the GIL, so shared
+     * tables would race under threads */
+    int16_t prevc[4096];
+    uint8_t sufx[4096], firstb[4096];
+    int32_t length[4096];
+    for (int i = 0; i < 256; i++) {
+        prevc[i] = -1;
+        sufx[i] = firstb[i] = (uint8_t)i;
+        length[i] = 1;
+    }
+    int next = 258, width = 9, prev = -1;
+    uint32_t acc = 0;
+    int nbits = 0;
+    long pos = 0, written = 0;
+    while (written < expected) {
+        while (nbits < width) {
+            if (pos >= n) return -1; /* truncated */
+            acc = (acc << 8) | data[pos++];
+            nbits += 8;
+        }
+        int code = (int)((acc >> (nbits - width)) & ((1u << width) - 1u));
+        nbits -= width;
+        acc &= (1u << nbits) - 1u;
+        if (code == 256) { next = 258; width = 9; prev = -1; continue; }
+        if (code == 257) break; /* EOI */
+        int entry;
+        if (prev < 0) {
+            if (code > 255) return -2;
+            entry = code;
+        } else if (code < next) {
+            entry = code;
+            if (next < 4096) {
+                prevc[next] = (int16_t)prev;
+                sufx[next] = firstb[code];
+                firstb[next] = firstb[prev];
+                length[next] = length[prev] + 1;
+                next++;
+            }
+        } else if (code == next && next < 4096) {
+            prevc[next] = (int16_t)prev;
+            sufx[next] = firstb[prev];
+            firstb[next] = firstb[prev];
+            length[next] = length[prev] + 1;
+            entry = next++;
+        } else {
+            return -2; /* corrupt code */
+        }
+        long l = length[entry];
+        long end = written + l;
+        long lim = end > expected ? expected : end;
+        long i = end - 1;
+        int e = entry;
+        while (i >= written) {
+            if (i < lim) out[i] = sufx[e];
+            e = prevc[e];
+            i--;
+        }
+        written = lim;
+        prev = code;
+        if (next + 1 == (1 << width) && width < 12) width++; /* early change */
+    }
+    return written;
+}

@@ -111,6 +111,10 @@ def lib():
         L.png_unfilter.argtypes = [
             u8p, ctypes.c_long, ctypes.c_long, ctypes.c_int, u8p,
         ]
+        L.tiff_lzw_decode.restype = ctypes.c_long
+        L.tiff_lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, u8p, ctypes.c_long,
+        ]
         _LIB = L
     except OSError:
         _LIB = None
@@ -307,3 +311,23 @@ def png_unfilter(stream, h: int, stride: int, bpp: int):
     if rc != 0:
         raise ValueError(f"corrupt PNG: filter {-rc}")
     return out
+
+
+def tiff_lzw_decode(data: bytes, expected: int):
+    """C path for tiff._lzw_decode_tiff: returns the decoded bytes (short
+    if EOI ends the stream early, like the pure path) or None when
+    unavailable. Raises ValueError on truncation/corrupt codes."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    out = np.empty(expected, np.uint8)
+    rc = L.tiff_lzw_decode(data, len(data),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           expected)
+    if rc == -1:
+        raise ValueError("TIFF: LZW stream truncated")
+    if rc < 0:
+        raise ValueError("TIFF: corrupt LZW code")
+    return out[:rc].tobytes()

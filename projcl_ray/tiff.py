@@ -75,6 +75,14 @@ class GeoTags:
 
 
 def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """LZW table-building is code-sequential; the compiled bit-exact twin
+    (projcl_ray/fastcodec.py) takes over when available and this body is
+    the fallback and parity oracle."""
+    from . import fastcodec
+
+    got = fastcodec.tiff_lzw_decode(data, expected)
+    if got is not None:
+        return got
     out = bytearray()
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)

@@ -521,6 +521,20 @@ def test_fastcodec_c_entropy_parity():
                     pure = P.decode_png(buf)
                     os.environ["PROJCL_NO_FASTCODEC"] = ""
                     np.testing.assert_array_equal(P.decode_png(buf), pure)
+        # TIFF LZW: the C table-building loop vs the pure one, strips and
+        # tiles, incl. noise payloads that churn the code table
+        from projcl_ray import tiff as T
+
+        for trial in range(4):
+            hh, ww = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+            img = (synth_pixels(200 + trial, ww, hh) if trial % 2 else
+                   rng.integers(0, 256, (hh, ww, 3)).astype(np.uint8))
+            for tiled in (False, True):
+                buf = T.encode_tiff(img, compression="lzw", tiled=tiled)
+                os.environ["PROJCL_NO_FASTCODEC"] = "1"
+                pure = T.decode_tiff(buf)
+                os.environ["PROJCL_NO_FASTCODEC"] = ""
+                np.testing.assert_array_equal(T.decode_tiff(buf), pure)
     finally:
         if old is None:
             os.environ.pop("PROJCL_NO_FASTCODEC", None)

@@ -105,6 +105,12 @@ def main(out_path: str) -> None:
            tiff.decode_tiff, raw_mb)
     record("tiff_lzw", lambda: tiff.encode_tiff(img, compression="lzw"),
            tiff.decode_tiff, raw_mb)
+    if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        record("tiff_lzw_cfast",
+               lambda: tiff.encode_tiff(img, compression="lzw"),
+               tiff.decode_tiff, raw_mb)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
 
     pcm = _pcm(64000)
     pcm_mb = pcm.nbytes / 1e6
