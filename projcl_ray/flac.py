@@ -209,14 +209,13 @@ def _rice_cost(u: np.ndarray, k: int) -> int:
 
 
 def _best_rice_param(u: np.ndarray) -> int:
-    best_k, best_c = 0, _rice_cost(u, 0)
-    for k in range(1, 30):
-        c = _rice_cost(u, k)
-        if c < best_c:
-            best_k, best_c = k, c
-        elif c > best_c * 2:
-            break
-    return best_k
+    """argmin over k of the exact coded size — one vectorized (n, 30)
+    shift instead of a per-k Python scan (was >75% of encode time); ties
+    break to the smallest k like the scan it replaced."""
+    ks = np.arange(30, dtype=np.uint64)
+    costs = (u[:, None] >> ks).sum(axis=0, dtype=np.int64) \
+        + np.int64(len(u)) * (ks.astype(np.int64) + 1)
+    return int(costs.argmin())
 
 
 def _rice_encode_bits(res: np.ndarray, k: int) -> np.ndarray:
@@ -475,36 +474,65 @@ def _signed_width(resid: np.ndarray) -> int:
 
 def _plan_residual(resid: np.ndarray, order: int, bs: int):
     """Choose partition order + per-partition Rice-vs-raw-escape coding by
-    exact coded size → (total_bits, porder, [("rice", k) | ("esc", w)])."""
-    best = None
+    exact coded size → (total_bits, porder, [("rice", k) | ("esc", w)]).
+
+    Partition sums for every Rice parameter come from reduceat at the
+    FINEST partition's bounds (valid orders are contiguous 0..pmax and
+    coarser bounds are a subset, so coarser sums are pairwise folds);
+    k only scans to bitlength(max u)+1 — beyond it the cost is strictly
+    increasing, so the argmin can't live there. This replaced a
+    per-partition Python scan that dominated encode time. Plan selection
+    is identical to the scalar scan (ties break to the smallest k / to
+    rice over escape), so the output bytes are unchanged."""
+    r = resid.astype(np.int64, copy=False)
+    u = ((r << 1) ^ (r >> 63)).astype(np.uint64)
+    pmax = -1
     for porder in range(0, 7):
-        nparts = 1 << porder
-        if bs % nparts or (bs >> porder) <= order:
+        if bs % (1 << porder) or (bs >> porder) <= order:
             break
-        total, plans, pos = 4, [], 0
-        ok = True
+        pmax = porder
+    if pmax < 0:
+        raise ValueError("block not partitionable")
+    P = 1 << pmax
+    fb = (bs >> pmax) * np.arange(P + 1, dtype=np.int64) - order
+    fb[0] = 0
+    starts = fb[:-1]
+    K = min(30, max(1, int(u.max()).bit_length() + 1)) if len(u) else 1
+    ssum = np.empty((K, P), np.int64)
+    for k in range(K):
+        ssum[k] = np.add.reduceat((u >> np.uint64(k)).astype(np.int64), starts)
+    fmx = np.maximum.reduceat(r, starts)
+    fmn = np.minimum.reduceat(r, starts)
+    fnz = np.add.reduceat((r != 0).astype(np.int64), starts)
+    ks_cost = np.arange(K, dtype=np.int64) + 1
+    best = None
+    for porder in range(0, pmax + 1):
+        nparts = 1 << porder
+        g = P // nparts
+        L = bs >> porder
+        bounds = L * np.arange(nparts + 1, dtype=np.int64) - order
+        bounds[0] = 0
+        npart = np.diff(bounds)
+        sums = ssum.reshape(K, nparts, g).sum(axis=2)
+        rice_costs = sums + ks_cost[:, None] * npart[None, :]
+        k_best = rice_costs.argmin(axis=0)
+        rice_c = rice_costs[k_best, np.arange(nparts)]
+        mx = fmx.reshape(nparts, g).max(axis=1)
+        mn = fmn.reshape(nparts, g).min(axis=1)
+        nonzero = fnz.reshape(nparts, g).sum(axis=1) > 0
+        total, plans = 4, []
         for p in range(nparts):
-            npart = (bs >> porder) - (order if p == 0 else 0)
-            part = resid[pos : pos + npart]
-            pos += npart
-            u = ((part << 1) ^ (part >> 63)).astype(np.uint64)
-            k = _best_rice_param(u) if npart else 0
-            rice_c = _rice_cost(u, k) if npart else 0
-            w = _signed_width(part) if npart and part.any() else 0
-            esc_c = 5 + npart * w
-            if esc_c < rice_c and w <= 31:
+            w = (max(1, (max(int(mx[p]) + 1, -int(mn[p]), 1) - 1)
+                     .bit_length() + 1) if nonzero[p] else 0)
+            esc_c = 5 + int(npart[p]) * w
+            if esc_c < rice_c[p] and w <= 31:
                 plans.append(("esc", w))
                 total += 5 + esc_c
             else:
-                if k > 30:
-                    ok = False
-                    break
-                plans.append(("rice", k))
-                total += 5 + rice_c
-        if ok and (best is None or total < best[0]):
+                plans.append(("rice", int(k_best[p])))
+                total += 5 + int(rice_c[p])
+        if best is None or total < best[0]:
             best = (total, porder, plans)
-    if best is None:
-        raise ValueError("block not partitionable")
     return best
 
 
