@@ -77,7 +77,7 @@ long jpeg_baseline_segment(
     const int32_t *bpr, const int32_t *wib,
     int32_t **stores)
 {
-    (void)nbytes;
+    long nbits = nbytes * 8;
     BitReader br = {data, 0};
     int32_t preds[4] = {0, 0, 0, 0};
     for (long mi = 0; mi < m_count; mi++) {
@@ -91,6 +91,7 @@ long jpeg_baseline_segment(
             for (int bi = 0; bi < nb; bi++) {
                 int32_t *coef = stores[c] + blist[bi] * 64;
                 memset(coef, 0, 64 * sizeof(int32_t));
+                if (br.pos > nbits) return -5; /* truncated segment */
                 uint32_t pk = peek16(&br);
                 int size = ds[pk], ln = dl[pk];
                 if (ln == 0) return -1; /* bad DC Huffman code */
@@ -99,6 +100,7 @@ long jpeg_baseline_segment(
                 coef[0] = preds[c];
                 int k = 1;
                 while (k < 64) {
+                    if (br.pos > nbits) return -5; /* truncated segment */
                     pk = peek16(&br);
                     int rs = as[pk];
                     ln = al[pk];
@@ -123,7 +125,7 @@ long jpeg_baseline_segment(
  * first pass when Ah==0 else refinement). Same component/geometry layout as
  * jpeg_baseline_segment. */
 long jpeg_prog_dc_segment(
-    const uint8_t *data,
+    const uint8_t *data, long nbytes,
     long m_start, long m_count, long mcus_x, int interleaved, int ncomp,
     int Ah, int Al,
     const uint8_t **dsym, const uint8_t **dlen,
@@ -131,6 +133,7 @@ long jpeg_prog_dc_segment(
     const int32_t *bpr, const int32_t *wib,
     int32_t **stores)
 {
+    long nbits = nbytes * 8;
     BitReader br = {data, 0};
     int32_t preds[4] = {0, 0, 0, 0};
     for (long mi = 0; mi < m_count; mi++) {
@@ -141,6 +144,7 @@ long jpeg_prog_dc_segment(
                                 bpr[c], wib[c], blist);
             for (int bi = 0; bi < nb; bi++) {
                 int32_t *coef = stores[c] + blist[bi] * 64;
+                if (br.pos > nbits) return -5; /* truncated segment */
                 if (Ah == 0) {
                     uint32_t pk = peek16(&br);
                     int size = dsym[c][pk], ln = dlen[c][pk];
@@ -162,13 +166,14 @@ long jpeg_prog_dc_segment(
  * correction bits — mirrors libjpeg's decode_mcu_AC_first/refine and the
  * pure-Python loop in jpeg._decode_progressive_scan bit for bit). */
 long jpeg_prog_ac_segment(
-    const uint8_t *data,
+    const uint8_t *data, long nbytes,
     long m_start, long m_count,
     int Ss, int Se, int Ah, int Al,
     const uint8_t *asym, const uint8_t *alen,
     int32_t bpr, int32_t wib,
     int32_t *store)
 {
+    long nbits = nbytes * 8;
     BitReader br = {data, 0};
     long eobrun = 0;
     int32_t p1 = (int32_t)1 << Al, n1 = -((int32_t)1 << Al);
@@ -179,6 +184,7 @@ long jpeg_prog_ac_segment(
             if (eobrun > 0) { eobrun--; continue; }
             int k = Ss;
             while (k <= Se) {
+                if (br.pos > nbits) return -5; /* truncated segment */
                 uint32_t pk = peek16(&br);
                 int rs = asym[pk], ln = alen[pk];
                 if (ln == 0) return -2;
@@ -201,6 +207,7 @@ long jpeg_prog_ac_segment(
             int k = Ss;
             if (eobrun == 0) {
                 while (k <= Se) {
+                    if (br.pos > nbits) return -5; /* truncated segment */
                     uint32_t pk = peek16(&br);
                     int rs = asym[pk], ln = alen[pk];
                     if (ln == 0) return -2;
@@ -238,6 +245,7 @@ long jpeg_prog_ac_segment(
                 }
             }
             if (eobrun > 0) {
+                if (br.pos > nbits) return -5; /* truncated segment */
                 while (k <= Se) { /* tail: correction bits only */
                     int32_t cv = blk[k];
                     if (cv != 0) {

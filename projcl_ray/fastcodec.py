@@ -76,7 +76,7 @@ def lib():
         ]
         L.jpeg_prog_dc_segment.restype = ctypes.c_long
         L.jpeg_prog_dc_segment.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_long,                 # data, nbytes
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_int, ctypes.c_int,                     # interleaved, ncomp
             ctypes.c_int, ctypes.c_int,                     # Ah, Al
@@ -86,7 +86,7 @@ def lib():
         ]
         L.jpeg_prog_ac_segment.restype = ctypes.c_long
         L.jpeg_prog_ac_segment.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_long,                 # data, nbytes
             ctypes.c_long, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # Ss Se Ah Al
             ctypes.c_char_p, ctypes.c_char_p,               # ac LUT
@@ -165,7 +165,7 @@ def jpeg_baseline_scan(store, scan, huff, restart_interval, segments,
         if m_count <= 0:
             break
         rc = L.jpeg_baseline_segment(
-            seg + b"\x00" * 8, len(seg), m_start, m_count, mcus_x,
+            seg + b"\x00" * 64, len(seg), m_start, m_count, mcus_x,
             int(interleaved), ncomp, dsym, dlen, asym, alen,
             vv, hh, bpr, wib, ptrs)
         if rc != 0:
@@ -215,7 +215,7 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
             if m_count <= 0:
                 break
             rc = L.jpeg_prog_dc_segment(
-                seg + b"\x00" * 8, m_start, m_count, mcus_x,
+                seg + b"\x00" * 64, len(seg), m_start, m_count, mcus_x,
                 int(interleaved), ncomp, Ah, Al, dsym, dlen,
                 vv, hh, bpr, wib, ptrs)
             if rc != 0:
@@ -237,7 +237,7 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
         if m_count <= 0:
             break
         rc = L.jpeg_prog_ac_segment(
-            seg + b"\x00" * 8, m_start, m_count, Ss, Se, Ah, Al,
+            seg + b"\x00" * 64, len(seg), m_start, m_count, Ss, Se, Ah, Al,
             sym_b, len_b, s["bpr"], s["wib"],
             a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if rc != 0:
