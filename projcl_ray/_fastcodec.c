@@ -9,7 +9,9 @@
  *
  * Plain C ABI only (ctypes-loaded): no Python.h, no allocation; the caller
  * owns every buffer. Entropy segments arrive unstuffed (0xFF00 removed) and
- * padded with >= 8 zero bytes so bit reads never run off the buffer.
+ * padded with >= 64 zero bytes; every decode loop additionally bounds its
+ * bit position against the segment length so corrupt data errors instead
+ * of reading out of bounds.
  */
 #include <stdint.h>
 #include <string.h>

@@ -8,7 +8,8 @@ system C compiler is present, `_fastcodec.c` (the same T.81 algorithm,
 bit-exact) is compiled ONCE per machine into a cached shared object and
 loaded with ctypes; every failure mode — no compiler, build error, load
 error, `PROJCL_NO_FASTCODEC=1` — falls back to the pure-Python path
-silently. Parity is pinned in tests/test_warp.py.
+silently. Parity is pinned in tests/test_warp.py (JPEG/PNG/TIFF) and
+tests/test_mosaic_media.py (FLAC).
 
 Concurrency: Ray workers race to build on first use; each builds to a
 pid-suffixed temp file and `os.replace`s it into place (atomic on POSIX),
