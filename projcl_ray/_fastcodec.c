@@ -457,3 +457,78 @@ long tiff_lzw_decode(const uint8_t *data, long n, uint8_t *out, long expected)
     }
     return written;
 }
+
+/* ---- GIF LZW decode (LSB-first variable-width codes, deferred clear, no
+ * early change) — mirrors gif._lzw_decode. Emits exactly n_pixels index
+ * bytes (the final entry may be clipped). Returns 0, -1 truncated stream,
+ * -2 corrupt code, -3 stream ended before n_pixels. ---- */
+long gif_lzw_decode(const uint8_t *data, long n, int min_code_size,
+                    uint8_t *out, long n_pixels)
+{
+    int clear = 1 << min_code_size, end = clear + 1;
+    int16_t prevc[4096];
+    uint8_t sufx[4096], firstb[4096];
+    int32_t length[4096];
+    for (int i = 0; i < clear; i++) {
+        prevc[i] = -1;
+        sufx[i] = firstb[i] = (uint8_t)i;
+        length[i] = 1;
+    }
+    int next = clear + 2, width = min_code_size + 1, prev = -1;
+    uint32_t acc = 0;
+    int nbits = 0;
+    long pos = 0, oi = 0;
+    while (oi < n_pixels) {
+        while (nbits < width) {
+            if (pos >= n) return -1;
+            acc |= (uint32_t)data[pos++] << nbits;
+            nbits += 8;
+        }
+        int code = (int)(acc & ((1u << width) - 1u));
+        acc >>= width;
+        nbits -= width;
+        if (code == clear) {
+            next = clear + 2;
+            width = min_code_size + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == end) break;
+        int entry;
+        if (prev < 0) {
+            if (code >= clear) return -2;
+            entry = code;
+        } else if (code < next) {
+            entry = code;
+            if (next < 4096) {
+                prevc[next] = (int16_t)prev;
+                sufx[next] = firstb[code];
+                firstb[next] = firstb[prev];
+                length[next] = length[prev] + 1;
+                next++;
+            }
+        } else if (code == next && next < 4096) {
+            prevc[next] = (int16_t)prev;
+            sufx[next] = firstb[prev];
+            firstb[next] = firstb[prev];
+            length[next] = length[prev] + 1;
+            entry = next++;
+        } else {
+            return -2;
+        }
+        long l = length[entry];
+        long seg_end = oi + l;
+        long lim = seg_end > n_pixels ? n_pixels : seg_end;
+        long i = seg_end - 1;
+        int e = entry;
+        while (i >= oi) {
+            if (i < lim) out[i] = sufx[e];
+            e = prevc[e];
+            i--;
+        }
+        oi = lim;
+        prev = code;
+        if (next == (1 << width) && width < 12) width++;
+    }
+    return oi < n_pixels ? -3 : 0;
+}

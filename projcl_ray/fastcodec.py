@@ -116,6 +116,10 @@ def lib():
         L.tiff_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, u8p, ctypes.c_long,
         ]
+        L.gif_lzw_decode.restype = ctypes.c_long
+        L.gif_lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long,
+        ]
         _LIB = L
     except OSError:
         _LIB = None
@@ -332,3 +336,25 @@ def tiff_lzw_decode(data: bytes, expected: int):
     if rc < 0:
         raise ValueError("TIFF: corrupt LZW code")
     return out[:rc].tobytes()
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """C path for gif._lzw_decode: returns the (n_pixels,) uint8 index
+    array or None when unavailable. Raises the pure path's errors on
+    truncated/corrupt streams."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    out = np.empty(n_pixels, np.uint8)
+    rc = L.gif_lzw_decode(data, len(data), min_code_size,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                          n_pixels)
+    if rc == -1:
+        raise ValueError("GIF: LZW stream truncated")
+    if rc == -3:
+        raise ValueError("GIF: LZW stream ended early")
+    if rc < 0:
+        raise ValueError("GIF: corrupt LZW code")
+    return out

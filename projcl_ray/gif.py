@@ -42,7 +42,14 @@ def _interlace_order(h: int) -> np.ndarray:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
-    """GIF LZW → index array. LSB-first variable-width codes."""
+    """GIF LZW → index array. LSB-first variable-width codes. Delegates to
+    the compiled bit-exact twin when available (projcl_ray/fastcodec.py);
+    this body is the fallback and parity oracle."""
+    from . import fastcodec
+
+    got = fastcodec.gif_lzw_decode(data, min_code_size, n_pixels)
+    if got is not None:
+        return got
     clear = 1 << min_code_size
     end = clear + 1
     out = np.empty(n_pixels, np.uint8)

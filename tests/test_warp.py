@@ -521,6 +521,20 @@ def test_fastcodec_c_entropy_parity():
                     pure = P.decode_png(buf)
                     os.environ["PROJCL_NO_FASTCODEC"] = ""
                     np.testing.assert_array_equal(P.decode_png(buf), pure)
+        # GIF LZW: LSB-first codes, deferred clear, interlace
+        from projcl_ray import gif as G
+
+        for trial in range(3):
+            hh, ww = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+            idx = rng.integers(0, 200, (hh, ww)).astype(np.uint8)
+            pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+            rgba = np.dstack([pal[idx], np.full((hh, ww), 255, np.uint8)])
+            for il in (False, True):
+                buf = G.encode_gif(rgba, interlace=il)
+                os.environ["PROJCL_NO_FASTCODEC"] = "1"
+                pure = G.decode_gif(buf)
+                os.environ["PROJCL_NO_FASTCODEC"] = ""
+                np.testing.assert_array_equal(G.decode_gif(buf), pure)
         # TIFF LZW: the C table-building loop vs the pure one, strips and
         # tiles, incl. noise payloads that churn the code table
         from projcl_ray import tiff as T

@@ -99,6 +99,11 @@ def main(out_path: str) -> None:
     img64 = ((img >> 6) << 6) + 32
     rgba = np.dstack([img64, np.full(img.shape[:2], 255, np.uint8)])
     record("gif_64col", lambda: gif.encode_gif(rgba), gif.decode_gif, raw_mb)
+    if fastcodec.lib() is not None:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        record("gif_64col_cfast", lambda: gif.encode_gif(rgba),
+               gif.decode_gif, raw_mb)
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("bmp", lambda: bmp.encode_bmp(img), bmp.decode_bmp, raw_mb)
     record("tiff_deflate_pred2",
            lambda: tiff.encode_tiff(img, compression="deflate", predictor=2),
