@@ -82,6 +82,8 @@ long jpeg_baseline_segment(
     long nbits = nbytes * 8;
     BitReader br = {data, 0};
     int32_t preds[4] = {0, 0, 0, 0};
+    for (int c = 0; c < ncomp; c++)  /* T.81 A.1.1: factors are 1..4 */
+        if (vv[c] < 1 || vv[c] > 4 || hh[c] < 1 || hh[c] > 4) return -6;
     for (long mi = 0; mi < m_count; mi++) {
         long m = m_start + mi;
         for (int c = 0; c < ncomp; c++) {
@@ -97,6 +99,7 @@ long jpeg_baseline_segment(
                 uint32_t pk = peek16(&br);
                 int size = ds[pk], ln = dl[pk];
                 if (ln == 0) return -1; /* bad DC Huffman code */
+                if (size > 15) return -6; /* DHT symbol not a DC size */
                 br.pos += ln;
                 if (size) preds[c] += extend(take(&br, size), size);
                 coef[0] = preds[c];
@@ -138,6 +141,8 @@ long jpeg_prog_dc_segment(
     long nbits = nbytes * 8;
     BitReader br = {data, 0};
     int32_t preds[4] = {0, 0, 0, 0};
+    for (int c = 0; c < ncomp; c++)  /* T.81 A.1.1: factors are 1..4 */
+        if (vv[c] < 1 || vv[c] > 4 || hh[c] < 1 || hh[c] > 4) return -6;
     for (long mi = 0; mi < m_count; mi++) {
         long m = m_start + mi;
         for (int c = 0; c < ncomp; c++) {
@@ -151,6 +156,7 @@ long jpeg_prog_dc_segment(
                     uint32_t pk = peek16(&br);
                     int size = dsym[c][pk], ln = dlen[c][pk];
                     if (ln == 0) return -1;
+                    if (size > 15) return -6; /* DHT symbol not a DC size */
                     br.pos += ln;
                     if (size) preds[c] += extend(take(&br, size), size);
                     coef[0] = preds[c] << Al;
@@ -314,22 +320,25 @@ void flac_lpc_restore(const int64_t *warm, int order, const int64_t *res,
 
 /* CRC-16/BUYPASS (poly 0x8005, MSB-first, init 0) — RFC 9639 frame CRC.
  * Byte-sequential; the table mirrors flac._CRC16. */
+static uint16_t _crc16_tbl[256];
+
+/* runs at dlopen, before any ctypes call can race (ctypes releases the
+ * GIL, so lazy init with a plain flag would be a data race) */
+__attribute__((constructor)) static void _crc16_init(void)
+{
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = (uint32_t)i << 8;
+        for (int b = 0; b < 8; b++)
+            c = (c & 0x8000u) ? ((c << 1) ^ 0x8005u) : (c << 1);
+        _crc16_tbl[i] = (uint16_t)c;
+    }
+}
+
 long flac_crc16(const uint8_t *data, long n)
 {
-    static uint16_t tbl[256];
-    static int init = 0;
-    if (!init) {
-        for (int i = 0; i < 256; i++) {
-            uint32_t c = (uint32_t)i << 8;
-            for (int b = 0; b < 8; b++)
-                c = (c & 0x8000u) ? ((c << 1) ^ 0x8005u) : (c << 1);
-            tbl[i] = (uint16_t)c;
-        }
-        init = 1;
-    }
     uint16_t c = 0;
     for (long i = 0; i < n; i++)
-        c = tbl[(c >> 8) ^ data[i]] ^ (uint16_t)(c << 8);
+        c = _crc16_tbl[(c >> 8) ^ data[i]] ^ (uint16_t)(c << 8);
     return c;
 }
 

@@ -47,7 +47,22 @@ def lib():
             tag = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
-    cache_dir = os.environ.get("PROJCL_FASTCODEC_DIR", tempfile.gettempdir())
+    cache_dir = os.environ.get("PROJCL_FASTCODEC_DIR")
+    if cache_dir is None:
+        # a predictable path in world-writable /tmp would let another local
+        # user plant a .so before our first build — use a 0700 dir we own
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "projcl_ray")
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            cache_dir = tempfile.mkdtemp(prefix="projcl_fastcodec_")
+    except OSError:
+        try:
+            cache_dir = tempfile.mkdtemp(prefix="projcl_fastcodec_")
+        except OSError:
+            return None
     so = os.path.join(cache_dir, f"projcl_fastcodec_{tag}.so")
     if not os.path.exists(so):
         tmp = f"{so}.build{os.getpid()}"
@@ -164,6 +179,8 @@ def jpeg_baseline_scan(store, scan, huff, restart_interval, segments,
         arrs.append(a)
         ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     step = restart_interval or units
+    if len(segments) * step < units:
+        raise ValueError("corrupt JPEG: missing restart segments")
     for i, seg in enumerate(segments):
         m_start = i * step
         m_count = min(step, units - m_start)
@@ -214,6 +231,8 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
             arrs.append(a)
             ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         step = restart_interval or units
+        if len(segments) * step < units:
+            raise ValueError("corrupt JPEG: missing restart segments")
         for i, seg in enumerate(segments):
             m_start = i * step
             m_count = min(step, units - m_start)
@@ -236,6 +255,8 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
     sym_b, len_b = sym.tobytes(), ln.tobytes()
     units = s["wib"] * s["hib"]
     step = restart_interval or units
+    if len(segments) * step < units:
+        raise ValueError("corrupt JPEG: missing restart segments")
     for i, seg in enumerate(segments):
         m_start = i * step
         m_count = min(step, units - m_start)

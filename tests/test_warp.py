@@ -473,9 +473,10 @@ def test_fastcodec_c_entropy_parity():
     """The compiled entropy decoder (projcl_ray/_fastcodec.c, built on
     first use when a C compiler exists) must be BIT-exact with the pure
     Python loop it replaces — across 4:4:4/4:2:0, interleaved and
-    per-component multi-scan layouts, restart intervals absent, gray/RGB,
-    odd sizes. Skipped where no compiler is available; the
-    PROJCL_NO_FASTCODEC escape hatch is tested regardless."""
+    per-component multi-scan layouts, restart intervals (DRI/RSTn segment
+    mapping + per-segment DC-predictor resets), gray/RGB, odd sizes.
+    Skipped where no compiler is available; the PROJCL_NO_FASTCODEC escape
+    hatch is tested regardless."""
     import os
 
     import pytest
@@ -502,6 +503,10 @@ def test_fastcodec_c_entropy_parity():
                 # progressive: DC first/refine + AC first/refine + EOB runs
                 bufs.append(J.encode_jpeg(src, quality=87, subsample=sub,
                                           progressive=True))
+                # restart intervals: segment index mapping + DC resets
+                bufs += [J.encode_jpeg(src, quality=87, subsample=sub,
+                                       multiscan=ms, restart_interval=ri)
+                         for ms in (False, True) for ri in (1, 5)]
                 for buf in bufs:
                     os.environ["PROJCL_NO_FASTCODEC"] = "1"
                     pure = J.decode_jpeg(buf)

@@ -71,51 +71,50 @@ def main(out_path: str) -> None:
               f"dec {res[name]['dec_MBps']:8.2f} MB/s   "
               f"({len(buf)} bytes)")
 
+    def record_cfast(name, enc_fn, dec_fn, payload_mb):
+        """Re-measure with the compiled fastcodec paths enabled (base rows
+        measure the pure-Python oracle loops under PROJCL_NO_FASTCODEC=1)."""
+        if fastcodec.lib() is None:
+            return
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        try:
+            record(name, enc_fn, dec_fn, payload_mb)
+        finally:
+            os.environ["PROJCL_NO_FASTCODEC"] = "1"
+
     # base rows measure the PURE-python loops (the determinism oracle);
     # _cfast rows re-measure decode with the compiled entropy/Rice paths
     # (projcl_ray/fastcodec.py) when a compiler exists
     os.environ["PROJCL_NO_FASTCODEC"] = "1"
     record("png_f4", lambda: png.encode_png(img, filter_type=4),
            png.decode_png, raw_mb)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("png_f4_cfast", lambda: png.encode_png(img, filter_type=4),
-               png.decode_png, raw_mb)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("png_f4_cfast", lambda: png.encode_png(img, filter_type=4),
+                 png.decode_png, raw_mb)
     record("jpeg_q90", lambda: jpeg.encode_jpeg(img, quality=90),
            jpeg.decode_jpeg, raw_mb)
     record("jpeg_progressive",
            lambda: jpeg.encode_jpeg(img, quality=90, progressive=True),
            jpeg.decode_jpeg, raw_mb)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("jpeg_q90_cfast", lambda: jpeg.encode_jpeg(img, quality=90),
-               jpeg.decode_jpeg, raw_mb)
-        record("jpeg_progressive_cfast",
-               lambda: jpeg.encode_jpeg(img, quality=90, progressive=True),
-               jpeg.decode_jpeg, raw_mb)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("jpeg_q90_cfast", lambda: jpeg.encode_jpeg(img, quality=90),
+                 jpeg.decode_jpeg, raw_mb)
+    record_cfast("jpeg_progressive_cfast",
+                 lambda: jpeg.encode_jpeg(img, quality=90, progressive=True),
+                 jpeg.decode_jpeg, raw_mb)
     # GIF is palette-based: quantize to 4 levels/channel (64 colors), RGBA.
     img64 = ((img >> 6) << 6) + 32
     rgba = np.dstack([img64, np.full(img.shape[:2], 255, np.uint8)])
     record("gif_64col", lambda: gif.encode_gif(rgba), gif.decode_gif, raw_mb)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("gif_64col_cfast", lambda: gif.encode_gif(rgba),
-               gif.decode_gif, raw_mb)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("gif_64col_cfast", lambda: gif.encode_gif(rgba),
+                 gif.decode_gif, raw_mb)
     record("bmp", lambda: bmp.encode_bmp(img), bmp.decode_bmp, raw_mb)
     record("tiff_deflate_pred2",
            lambda: tiff.encode_tiff(img, compression="deflate", predictor=2),
            tiff.decode_tiff, raw_mb)
     record("tiff_lzw", lambda: tiff.encode_tiff(img, compression="lzw"),
            tiff.decode_tiff, raw_mb)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("tiff_lzw_cfast",
-               lambda: tiff.encode_tiff(img, compression="lzw"),
-               tiff.decode_tiff, raw_mb)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("tiff_lzw_cfast",
+                 lambda: tiff.encode_tiff(img, compression="lzw"),
+                 tiff.decode_tiff, raw_mb)
 
     pcm = _pcm(64000)
     pcm_mb = pcm.nbytes / 1e6
@@ -127,22 +126,16 @@ def main(out_path: str) -> None:
            media.decode_wav, pcm_mb)
     record("flac", lambda: flac.encode_flac(pcm, 44100), flac.decode_flac,
            pcm_mb)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("flac_cfast", lambda: flac.encode_flac(pcm, 44100),
-               flac.decode_flac, pcm_mb)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("flac_cfast", lambda: flac.encode_flac(pcm, 44100),
+                 flac.decode_flac, pcm_mb)
 
     frames = np.stack([np.roll(_image(64, seed=s), s, axis=1)
                        for s in range(12)])
     record("avi_mjpeg", lambda: avi.encode_avi_mjpeg(frames, fps=12),
            avi.decode_avi_mjpeg, frames.nbytes / 1e6)
-    if fastcodec.lib() is not None:
-        os.environ["PROJCL_NO_FASTCODEC"] = ""
-        record("avi_mjpeg_cfast",
-               lambda: avi.encode_avi_mjpeg(frames, fps=12),
-               avi.decode_avi_mjpeg, frames.nbytes / 1e6)
-        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+    record_cfast("avi_mjpeg_cfast",
+                 lambda: avi.encode_avi_mjpeg(frames, fps=12),
+                 avi.decode_avi_mjpeg, frames.nbytes / 1e6)
     os.environ.pop("PROJCL_NO_FASTCODEC", None)
 
     out = {
