@@ -97,8 +97,13 @@ def flagship(
         concurrency=concurrency,
     )
     polys = synth_polygons(32)
+    # batch_size=None: pip's 64k default is sized for slim point tables; on
+    # the TILE stream (few thousand rows carrying 16 KB pixel payloads each)
+    # it coalesces every block into one batch, collapsing the fused
+    # warp->pip stage to a single task (measured 9.4 s vs 1.3 s at 2048
+    # images). Per-block batches keep the stage as parallel as the read.
     joined = ops.pip_join(tiles, polys, lon_col="center_lon", lat_col="center_lat",
-                          concurrency=concurrency)
+                          concurrency=concurrency, batch_size=None)
 
     # pixel-free projection before the shuffle (SURVEY §7 'Wide binary rows')
     def strip_pixels(batch: pa.Table) -> pa.Table:
