@@ -1383,6 +1383,34 @@ def q_geotiff_ingest(sf_dir: str):
     return _phash_tiles(tiles)
 
 
+@q("geotiff_dem_ingest_warp_tile")  # pixel op — determinism gated in pytest
+def q_geotiff_dem_ingest(sf_dir: str):
+    """Deep-sample GeoTIFF ingest: single-band float32 elevation rasters
+    (the real-world DEM/band layout — BitsPerSample 32, SampleFormat 3,
+    embedded georeference) → ops.ingest_geotiff, whose decode maps the
+    native samples through the deterministic min-max 8-bit preview
+    (decode_tiff_native keeps the exact values for numeric pipelines) →
+    warp → tile → per-tile phash."""
+    from .images import decode_image, synth_images_table
+    from .tiff import GeoTags, encode_tiff
+
+    rows = synth_images_table(24, seed=43).to_pylist()
+    blobs = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        # deterministic synthetic elevation: luminance-driven float32 field
+        dem = (100.0 + 12.5 * img[..., 0].astype(np.float32)
+               + 0.25 * img[..., 1].astype(np.float32))
+        geo = GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0, r["lon0"], r["lat0"])
+        blobs.append({"image_id": r["image_id"], "caption": r["caption"],
+                      "bytes": encode_tiff(dem, geo=geo)})
+    ds = ops.ingest_geotiff(rd.from_arrow(pa.Table.from_pylist(blobs)))
+    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                              tile_size=64, batch_size=8)
+
+    return _phash_tiles(tiles)
+
+
 @q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
 def q_gif_bmp_ingest(sf_dir: str):
     """Mixed palette/DIB ingest: the images table stored alternately as GIF

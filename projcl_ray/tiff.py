@@ -49,6 +49,7 @@ _T_TILE_H = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_EXTRASAMPLES = 338
+_T_SAMPLEFMT = 339      # 1=uint 2=int 3=float per sample
 _T_PIXEL_SCALE = 33550   # GeoTIFF ModelPixelScaleTag (double[3])
 _T_TIEPOINT = 33922      # GeoTIFF ModelTiepointTag (double[6k])
 
@@ -246,8 +247,31 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     return decode_tiff_geo(buf)[0]
 
 
+# (BitsPerSample, SampleFormat) → numpy dtype; SampleFormat defaults to 1
+_SAMPLE_DTYPES = {
+    (8, 1): np.uint8, (16, 1): np.uint16, (16, 2): np.int16,
+    (32, 1): np.uint32, (32, 2): np.int32, (32, 3): np.float32,
+}
+
+
+def decode_tiff_native(buf: bytes) -> tuple[np.ndarray, "GeoTags | None"]:
+    """TIFF bytes → ((h, w, spp) array at NATIVE sample type, geo or None).
+
+    The geospatial raster path: real-world GeoTIFF DEMs/bands are uint16,
+    int16 or float32 — this returns them untouched (native-endian). The
+    RGBA preview conversion lives in decode_tiff_geo."""
+    return _decode_tiff(buf, native=True)
+
+
 def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
-    """TIFF bytes → ((h, w, 4) uint8 RGBA, GeoTIFF georeference or None)."""
+    """TIFF bytes → ((h, w, 4) uint8 RGBA, GeoTIFF georeference or None).
+    Deeper-than-8-bit rasters are scaled deterministically for the pixel
+    path: uint16 >> 8, int16 offset to uint16 then >> 8, float32 min-max
+    normalized; use decode_tiff_native for the real sample values."""
+    return _decode_tiff(buf, native=False)
+
+
+def _decode_tiff(buf: bytes, *, native: bool):
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -263,12 +287,25 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
     h = tags[_T_HEIGHT][0]
     spp = tags.get(_T_SPP, (1,))[0]
     bits = tags.get(_T_BITS, (8,) * spp)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+    sfmt = tags.get(_T_SAMPLEFMT, (1,) * spp)[0]
+    if len(set(bits)) != 1 or (bits[0], sfmt) not in _SAMPLE_DTYPES:
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} / sample-format {sfmt} unsupported")
+    dtype = np.dtype(_SAMPLE_DTYPES[(bits[0], sfmt)])
+    bps = dtype.itemsize
     if tags.get(_T_PLANAR, (1,))[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
     photometric = tags.get(_T_PHOTOMETRIC, (1,))[0]
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
+    if predictor == 2 and dtype.kind == "f":
+        raise NotImplementedError("TIFF predictor 2 on float samples")
+    if predictor == 3:
+        raise NotImplementedError("TIFF floating-point predictor (3)")
+
+    def as_samples(seg: np.ndarray, n: int):
+        """(raw bytes,) → n native-endian samples of dtype."""
+        a = np.frombuffer(seg.tobytes(), dtype.newbyteorder(e), count=n)
+        return a.astype(dtype, copy=False)
 
     if _T_TILE_OFFSETS in tags:  # tile-organized
         tw = tags[_T_TILE_W][0]
@@ -276,13 +313,13 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
         offsets = tags[_T_TILE_OFFSETS]
         counts = tags[_T_TILE_COUNTS]
         tiles_x = (w + tw - 1) // tw
-        raw_len = tw * th * spp
+        raw_len = tw * th * spp * bps
         segs = _decode_segments(buf, e, tags, offsets, counts, tw, th, spp, raw_len)
-        img = np.zeros((h, w, spp), np.uint8)
+        img = np.zeros((h, w, spp), dtype)
         for ti, seg in enumerate(segs):
-            tile = seg[:raw_len].reshape(th, tw, spp)
-            if predictor == 2:
-                tile = np.cumsum(tile.astype(np.uint32), axis=1).astype(np.uint8)
+            tile = as_samples(seg, tw * th * spp).reshape(th, tw, spp)
+            if predictor == 2:  # differencing is per SAMPLE, any int width
+                tile = np.cumsum(tile.astype(np.uint64), axis=1).astype(dtype)
             ty, tx = divmod(ti, tiles_x)
             y0, x0 = ty * th, tx * tw
             ys, xs = min(th, h - y0), min(tw, w - x0)
@@ -295,13 +332,36 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
         rows = []
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             n_rows = min(rps, h - si * rps)
-            raw_len = n_rows * w * spp
+            raw_len = n_rows * w * spp * bps
             seg = _decode_segments(buf, e, tags, (off,), (cnt,), w, n_rows, spp, raw_len)[0]
-            strip = seg[:raw_len].reshape(n_rows, w, spp)
+            strip = as_samples(seg, n_rows * w * spp).reshape(n_rows, w, spp)
             if predictor == 2:
-                strip = np.cumsum(strip.astype(np.uint32), axis=1).astype(np.uint8)
+                strip = np.cumsum(strip.astype(np.uint64), axis=1).astype(dtype)
             rows.append(strip)
         img = np.concatenate(rows, axis=0)
+
+    geo = None
+    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        sx, sy = tags[_T_PIXEL_SCALE][0], tags[_T_PIXEL_SCALE][1]
+        ti, tj, _tk, tx, ty, _tz = tags[_T_TIEPOINT][:6]
+        geo = GeoTags(float(sx), float(sy), float(ti), float(tj), float(tx), float(ty))
+
+    if native:
+        if photometric == 0 and dtype == np.uint8:
+            img = 255 - img  # MinIsWhite only meaningfully defined for 8-bit
+        return img, geo
+
+    if dtype != np.uint8:  # deterministic 8-bit preview for the pixel path
+        if dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        elif dtype == np.int16:
+            img = ((img.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+        else:  # uint32/int32/float32: min-max normalize
+            f = img.astype(np.float64)
+            lo, hi = float(f.min()), float(f.max())
+            img = (np.zeros_like(f, np.uint8) if hi == lo else
+                   np.clip((f - lo) * (255.0 / (hi - lo)), 0, 255)
+                   .astype(np.uint8))
 
     out = np.empty((h, w, 4), np.uint8)
     if photometric == 3:  # palette: ColorMap is 3*2^bits uint16s, R then G then B
@@ -322,12 +382,6 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
         out[..., 3] = img[..., 3] if spp >= 4 else 255
     else:
         raise NotImplementedError(f"TIFF photometric {photometric} unsupported")
-
-    geo = None
-    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
-        sx, sy = tags[_T_PIXEL_SCALE][0], tags[_T_PIXEL_SCALE][1]
-        ti, tj, _tk, tx, ty, _tz = tags[_T_TIEPOINT][:6]
-        geo = GeoTags(float(sx), float(sy), float(ti), float(tj), float(tx), float(ty))
     return out, geo
 
 
@@ -346,8 +400,20 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
     (TileWidth/TileLength, edge tiles zero-padded per spec) instead of
     strips. ``predictor=2`` applies horizontal differencing before
     compression. ``geo`` writes the GeoTIFF ModelPixelScale/ModelTiepoint
-    tags."""
-    arr = np.ascontiguousarray(arr, np.uint8)
+    tags. Sample types beyond uint8 — uint16/int16/uint32/int32/float32,
+    the real-world GeoTIFF DEM/band types — encode with the matching
+    BitsPerSample + SampleFormat tags (predictor 2 applies per SAMPLE and
+    is rejected for float, per TIFF 6.0)."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    if arr.dtype not in (np.uint8, np.uint16, np.int16, np.uint32,
+                         np.int32, np.float32):
+        arr = arr.astype(np.uint8)
+    sdtype = np.dtype(arr.dtype).newbyteorder("<")
+    arr = np.ascontiguousarray(arr.astype(sdtype, copy=False))
+    if predictor == 2 and sdtype.kind == "f":
+        raise ValueError("TIFF predictor 2 is integer-only")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else arr.shape[2]
@@ -356,9 +422,10 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
 
     def pack_segment(seg: np.ndarray) -> bytes:
         if predictor == 2:
-            d = seg.copy()
-            d[:, 1:, :] -= seg[:, :-1, :]  # uint8 wraparound = mod-256 diff
-            seg = d
+            u = seg.view(np.dtype(f"<u{sdtype.itemsize}"))  # mod-2^n diff
+            d = u.copy()
+            d[:, 1:, :] -= u[:, :-1, :]
+            seg = d.view(sdtype)
         raw = seg.tobytes()
         if compression == "deflate":
             return zlib.compress(raw, 6)
@@ -371,7 +438,7 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
     if tiled:
         tiles_x = (w + tile_size - 1) // tile_size
         tiles_y = (h + tile_size - 1) // tile_size
-        padded = np.zeros((tiles_y * tile_size, tiles_x * tile_size, spp), np.uint8)
+        padded = np.zeros((tiles_y * tile_size, tiles_x * tile_size, spp), sdtype)
         padded[:h, :w] = px
         for ty in range(tiles_y):
             for tx in range(tiles_x):
@@ -393,9 +460,11 @@ def encode_tiff(arr: np.ndarray, *, geo: GeoTags | None = None,
     offsets_tag = _T_TILE_OFFSETS if tiled else _T_STRIP_OFFSETS
     tag(_T_WIDTH, 4, [w])
     tag(_T_HEIGHT, 4, [h])
-    tag(_T_BITS, 3, [8] * spp)
+    tag(_T_BITS, 3, [sdtype.itemsize * 8] * spp)
     tag(_T_COMPRESSION, 3, [comp_tag])
     tag(_T_PHOTOMETRIC, 3, [photometric])
+    if sdtype.kind != "u":
+        tag(_T_SAMPLEFMT, 3, [{"i": 2, "f": 3}[sdtype.kind]] * spp)
     tag(offsets_tag, 4, [0] * n_strips)  # patched below
     tag(_T_SPP, 3, [spp])
     if predictor == 2:

@@ -896,6 +896,71 @@ def test_geotiff_ingest_warp_tile_matches_raw_path(ray_session):
     assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
 
 
+def test_tiff_deep_samples_roundtrip_and_dem_ingest(ray_session):
+    """Real-world GeoTIFF sample types: uint16/int16/uint32/int32/float32
+    encode with BitsPerSample+SampleFormat tags and round-trip EXACTLY via
+    decode_tiff_native across strips/tiles, every compression, and
+    predictor 2 (integer types; per-sample differencing). decode_tiff_geo's
+    8-bit preview is deterministic, and a float32 DEM GeoTIFF flows through
+    ops.ingest_geotiff → warp_and_tile end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops, tiff
+    from projcl_ray.images import synth_images_table, decode_image
+    from projcl_ray.proj import ProjParams
+
+    rng = np.random.default_rng(21)
+    for dt in (np.uint16, np.int16, np.uint32, np.int32, np.float32):
+        for shape in ((21, 34), (21, 34, 3)):
+            if dt == np.float32:
+                a = rng.normal(100, 500, shape).astype(dt)
+            else:
+                info = np.iinfo(dt)
+                a = rng.integers(info.min, info.max, shape).astype(dt)
+            for comp in ("none", "deflate", "lzw"):
+                for tiled in (False, True):
+                    preds = (1, 2) if a.dtype.kind != "f" else (1,)
+                    for pr in preds:
+                        buf = tiff.encode_tiff(a, compression=comp,
+                                               tiled=tiled, predictor=pr)
+                        dec, _ = tiff.decode_tiff_native(buf)
+                        np.testing.assert_array_equal(
+                            dec, a.reshape(a.shape[0], a.shape[1], -1))
+    # predictor 2 on float raises on encode and decode paths
+    f = rng.normal(0, 1, (8, 8)).astype(np.float32)
+    try:
+        tiff.encode_tiff(f, predictor=2)
+        raise AssertionError("float predictor 2 should raise")
+    except ValueError:
+        pass
+    # DEM ingest end-to-end: float32 single-band GeoTIFF → warp+tile
+    tbl = synth_images_table(6, seed=43)
+    blobs = []
+    for r in tbl.to_pylist():
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        dem = (100.0 + 12.5 * img[..., 0].astype(np.float32)
+               + 0.25 * img[..., 1].astype(np.float32))
+        geo = tiff.GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0,
+                           r["lon0"], r["lat0"])
+        blobs.append({"image_id": r["image_id"], "caption": r["caption"],
+                      "bytes": tiff.encode_tiff(dem, geo=geo)})
+    ingested = ops.ingest_geotiff(rd.from_arrow(pa.Table.from_pylist(blobs)))
+    tiles = ops.warp_and_tile(ingested, "mercator",
+                              ProjParams(spheroid="WGS_84"),
+                              tile_size=32, batch_size=4).to_pandas()
+    assert len(tiles) > 0
+    # determinism: a second run produces identical tile bytes
+    tiles2 = ops.warp_and_tile(
+        ops.ingest_geotiff(rd.from_arrow(pa.Table.from_pylist(blobs))),
+        "mercator", ProjParams(spheroid="WGS_84"),
+        tile_size=32, batch_size=4).to_pandas()
+    key = ["image_id", "tile_idx"]
+    a = tiles.sort_values(key).reset_index(drop=True)
+    b = tiles2.sort_values(key).reset_index(drop=True)
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+
+
 def test_tiff_tiled_and_predictor_roundtrip():
     """Tile-organized TIFF (edge tiles zero-padded per spec) and the
     horizontal-differencing predictor both round-trip across compressions,
