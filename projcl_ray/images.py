@@ -74,7 +74,11 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         out[..., 3] = 255
         return out
     if fmt in ("png", "jpeg", "gif", "bmp", "tiff"):
-        pil = _pil()
+        # tiff always decodes in-repo: PIL's mode conversion for deep
+        # sample types (uint16/float32 DEM bands) differs from our
+        # deterministic 8-bit preview (tiff.decode_tiff_geo), and the
+        # GeoTIFF tag path needs the in-repo parser anyway
+        pil = _pil() if fmt != "tiff" else None
         if pil is not None:
             import io
 
