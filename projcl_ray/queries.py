@@ -1411,6 +1411,31 @@ def q_geotiff_dem_ingest(sf_dir: str):
     return _phash_tiles(tiles)
 
 
+@q("zonal_stats_dem")  # pixel-derived values — exact brute-force oracle in pytest
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-polygon (n, mean, min, max) of float32 DEM
+    samples across a raster corpus — the classic DEM × vector-zones
+    geospatial aggregate. Pixels never shuffle: each raster batch reduces
+    to ≤1 combiner row per zone (ops.zonal_stats), then one small
+    groupby-aggregate merges partials. Values derive from decoded raster
+    bytes, so correctness is gated by the exact brute-force pytest
+    (test_zonal_stats_matches_bruteforce), not SQL."""
+    from .images import decode_image, synth_images_table
+    from .pipelines import synth_polygons
+    from .tiff import GeoTags, encode_tiff
+
+    rows = synth_images_table(24, seed=44).to_pylist()
+    blobs = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        dem = (100.0 + 12.5 * img[..., 0].astype(np.float32)
+               + 0.25 * img[..., 1].astype(np.float32))
+        geo = GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0, r["lon0"], r["lat0"])
+        blobs.append({"raster_id": r["image_id"], "bytes": encode_tiff(dem, geo=geo)})
+    ds = rd.from_arrow(pa.Table.from_pylist(blobs)).repartition(8)
+    return ops.zonal_stats(ds, synth_polygons(32))
+
+
 @q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
 def q_gif_bmp_ingest(sf_dir: str):
     """Mixed palette/DIB ingest: the images table stored alternately as GIF

@@ -961,6 +961,68 @@ def test_tiff_deep_samples_roundtrip_and_dem_ingest(ray_session):
     assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
 
 
+def test_zonal_stats_matches_bruteforce(ray_session):
+    """ops.zonal_stats (per-zone n/mean/min/max of native float32 DEM
+    samples, combiner partials + native groupby merge) must match a
+    single-process brute-force over every (pixel, zone) pair exactly."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops, tiff
+    from projcl_ray.spatial import make_convex_polygon, point_in_polygon
+    from projcl_ray.tiff import GeoTags, georef_from_tags
+
+    rng = np.random.default_rng(7)
+    rasters, zones = [], []
+    for i in range(12):
+        hh, ww = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        dem = (500 + 300 * np.sin(np.arange(hh)[:, None] / 4.0)
+               + rng.normal(0, 40, (hh, ww))).astype(np.float32)
+        lon0, lat0 = float(rng.uniform(-30, 30)), float(rng.uniform(-20, 40))
+        geo = GeoTags(0.05, 0.05, 0.0, 0.0, lon0, lat0)
+        rasters.append({"raster_id": f"r{i}",
+                        "bytes": tiff.encode_tiff(dem, geo=geo),
+                        "_dem": dem, "_geo": geo})
+    for z in range(6):
+        r = rasters[z * 2]
+        zones.append((f"z{z}", make_convex_polygon(
+            r["_geo"].tie_x + 0.5, r["_geo"].tie_y - 0.5,
+            float(rng.uniform(0.5, 3)), 7 + z, seed=z)))
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{k: v for k, v in r.items() if not k.startswith("_")}
+         for r in rasters])).repartition(4)
+    out = (ops.zonal_stats(ds, zones).to_pandas()
+           .sort_values("zone_id").reset_index(drop=True))
+
+    acc = collections.defaultdict(lambda: [0, 0.0, np.inf, -np.inf])
+    for r in rasters:
+        dem, geo = r["_dem"], r["_geo"]
+        gr = georef_from_tags(geo)
+        hh, ww = dem.shape
+        LON = np.broadcast_to(gr.lon0 + gr.px_deg * np.arange(ww),
+                              (hh, ww)).ravel()
+        LAT = np.broadcast_to((gr.lat0 - gr.px_deg * np.arange(hh))[:, None],
+                              (hh, ww)).ravel()
+        V = dem.astype(np.float64).ravel()
+        for zid, poly in zones:
+            inside = point_in_polygon(LON, LAT, poly)
+            if inside.any():
+                v = V[inside]
+                a = acc[zid]
+                a[0] += v.size
+                a[1] += v.sum()
+                a[2] = min(a[2], v.min())
+                a[3] = max(a[3], v.max())
+    assert len(out) == len(acc) > 0
+    for _, row in out.iterrows():
+        n, s, mn, mx = acc[row["zone_id"]]
+        assert row["n"] == n
+        assert abs(row["vmean"] - s / n) < 1e-9
+        assert row["vmin"] == mn and row["vmax"] == mx
+
+
 def test_tiff_tiled_and_predictor_roundtrip():
     """Tile-organized TIFF (edge tiles zero-padded per spec) and the
     horizontal-differencing predictor both round-trip across compressions,
