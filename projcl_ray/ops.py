@@ -613,6 +613,72 @@ def zonal_stats(ds: ray.data.Dataset, polygons: list,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def _horn_terrain(z: np.ndarray, lat: np.ndarray, px_deg: float,
+                  z_factor: float = 1.0):
+    """Horn's 3×3 slope/aspect/hillshade (the standard gdaldem/ESRI method)
+    over one north-up geographic DEM. ``z`` is (h, w) float64 meters;
+    ``lat`` the per-row pixel-center latitudes. Cell size converts to
+    meters per row (lon spacing shrinks by cos φ). Returns (slope_rad,
+    aspect_rad, hillshade 0..255 float64), edges via edge-replicated pad."""
+    zp = np.pad(z, 1, mode="edge")
+    a, b, c = zp[:-2, :-2], zp[:-2, 1:-1], zp[:-2, 2:]
+    d, f = zp[1:-1, :-2], zp[1:-1, 2:]
+    g, hh, i = zp[2:, :-2], zp[2:, 1:-1], zp[2:, 2:]
+    m_per_deg = 111320.0
+    dx = (px_deg * m_per_deg * np.cos(np.radians(lat)))[:, None]
+    dy = px_deg * m_per_deg
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * dx)
+    dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * dy)
+    slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    az, alt = np.radians(315.0), np.radians(45.0)
+    zen = np.pi / 2 - alt
+    shade = (np.cos(zen) * np.cos(slope)
+             + np.sin(zen) * np.sin(slope) * np.cos(az - np.pi / 2 - aspect))
+    return slope, aspect, np.clip(shade, 0, 1) * 255.0
+
+
+def dem_terrain_features(ds: ray.data.Dataset, *, z_factor: float = 1.0,
+                         batch_size: int | None = 8) -> ray.data.Dataset:
+    """Terrain analysis over a GeoTIFF DEM corpus: per raster, Horn-method
+    slope/aspect/hillshade (metric cell size, per-row cos φ longitude
+    scaling) reduced to slim feature rows — mean/max slope (deg), circular
+    mean aspect (deg), mean hillshade (0-255), elevation roughness (std).
+    Zero-movement map over native-typed samples (tiff.decode_tiff_native);
+    pixels never leave the task."""
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        from .tiff import decode_tiff_native, georef_from_tags
+
+        ids, msl, xsl, asp, shd, rgh = [], [], [], [], [], []
+        for rid, blob in zip(batch["raster_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            arr, geo = decode_tiff_native(blob)
+            if geo is None:
+                raise ValueError(f"{rid}: GeoTIFF georeference missing")
+            gr = georef_from_tags(geo)
+            z = arr[..., 0].astype(np.float64, copy=False)
+            lat = gr.lat0 - gr.px_deg * np.arange(z.shape[0])
+            slope, aspect, shade = _horn_terrain(z, lat, gr.px_deg, z_factor)
+            ids.append(rid)
+            msl.append(float(np.degrees(slope.mean())))
+            xsl.append(float(np.degrees(slope.max())))
+            asp.append(float(np.degrees(np.arctan2(
+                np.sin(aspect).mean(), np.cos(aspect).mean())) % 360.0))
+            shd.append(float(shade.mean()))
+            rgh.append(float(z.std()))
+        return pa.table({
+            "raster_id": pa.array(ids, pa.string()),
+            "mean_slope_deg": pa.array(msl, pa.float64()),
+            "max_slope_deg": pa.array(xsl, pa.float64()),
+            "mean_aspect_deg": pa.array(asp, pa.float64()),
+            "mean_hillshade": pa.array(shd, pa.float64()),
+            "elev_roughness": pa.array(rgh, pa.float64()),
+        })
+
+    return ds.map_batches(_feat, batch_format="pyarrow", batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # PIP join & kNN (broadcast small side; shuffle path keyed on cell_id)
 # ---------------------------------------------------------------------------

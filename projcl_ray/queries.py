@@ -1436,6 +1436,28 @@ def q_zonal_stats(sf_dir: str):
     return ops.zonal_stats(ds, synth_polygons(32))
 
 
+@q("dem_terrain_features")  # pixel-derived — exact scalar-Horn oracle in pytest
+def q_dem_terrain(sf_dir: str):
+    """Terrain analysis over the DEM corpus: per raster, Horn-method
+    slope/aspect/hillshade reduced to slim feature rows (mean/max slope,
+    circular-mean aspect, mean hillshade, roughness). Zero-movement map —
+    pixels never leave the decode task (ops.dem_terrain_features);
+    correctness gated by the per-pixel scalar-Horn pytest."""
+    from .images import decode_image, synth_images_table
+    from .tiff import GeoTags, encode_tiff
+
+    rows = synth_images_table(24, seed=44).to_pylist()
+    blobs = []
+    for r in rows:
+        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
+        dem = (100.0 + 12.5 * img[..., 0].astype(np.float32)
+               + 0.25 * img[..., 1].astype(np.float32))
+        geo = GeoTags(r["px_deg"], r["px_deg"], 0.0, 0.0, r["lon0"], r["lat0"])
+        blobs.append({"raster_id": r["image_id"], "bytes": encode_tiff(dem, geo=geo)})
+    return ops.dem_terrain_features(
+        rd.from_arrow(pa.Table.from_pylist(blobs)).repartition(8))
+
+
 @q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
 def q_gif_bmp_ingest(sf_dir: str):
     """Mixed palette/DIB ingest: the images table stored alternately as GIF

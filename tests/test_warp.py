@@ -1023,6 +1023,54 @@ def test_zonal_stats_matches_bruteforce(ray_session):
         assert row["vmin"] == mn and row["vmax"] == mx
 
 
+def test_dem_terrain_features_matches_scalar_horn(ray_session):
+    """ops.dem_terrain_features' vectorized Horn slope/aspect/hillshade must
+    match an independent per-pixel scalar implementation exactly (same
+    edge-replicated 3×3 window, same per-row cos φ metric cell size)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from projcl_ray import ops, tiff
+    from projcl_ray.ops import _horn_terrain
+    from projcl_ray.tiff import GeoTags
+
+    rng = np.random.default_rng(9)
+    hh, ww = 14, 17
+    z = (800 + 90 * np.sin(np.arange(hh)[:, None] / 2.5)
+         + rng.normal(0, 25, (hh, ww))).astype(np.float64)
+    px_deg, lat0 = 0.02, 43.0
+    lat = lat0 - px_deg * np.arange(hh)
+    slope, aspect, shade = _horn_terrain(z, lat, px_deg)
+
+    zp = np.pad(z, 1, mode="edge")
+    m = 111320.0
+    for y in range(hh):
+        dx = px_deg * m * math.cos(math.radians(lat[y]))
+        for x in range(ww):
+            wnd = zp[y:y + 3, x:x + 3]
+            dzdx = ((wnd[0, 2] + 2 * wnd[1, 2] + wnd[2, 2])
+                    - (wnd[0, 0] + 2 * wnd[1, 0] + wnd[2, 0])) / (8 * dx)
+            dzdy = ((wnd[2, 0] + 2 * wnd[2, 1] + wnd[2, 2])
+                    - (wnd[0, 0] + 2 * wnd[0, 1] + wnd[0, 2])) / (8 * px_deg * m)
+            assert abs(slope[y, x] - math.atan(math.hypot(dzdx, dzdy))) < 1e-12
+            assert abs(aspect[y, x] - math.atan2(dzdy, -dzdx)) < 1e-12
+    assert shade.min() >= 0 and shade.max() <= 255
+
+    # end-to-end over GeoTIFF blobs through Ray
+    blob = tiff.encode_tiff(z.astype(np.float32),
+                            geo=GeoTags(px_deg, px_deg, 0, 0, -100.0, lat0))
+    out = ops.dem_terrain_features(
+        rd.from_arrow(pa.Table.from_pylist(
+            [{"raster_id": "d0", "bytes": blob}]))).to_pandas()
+    assert len(out) == 1 and 0 <= out["mean_aspect_deg"].iloc[0] < 360
+    s32, _, _ = _horn_terrain(z.astype(np.float32).astype(np.float64),
+                              lat, px_deg)
+    assert abs(out["mean_slope_deg"].iloc[0]
+               - float(np.degrees(s32.mean()))) < 1e-9
+
+
 def test_tiff_tiled_and_predictor_roundtrip():
     """Tile-organized TIFF (edge tiles zero-padded per spec) and the
     horizontal-differencing predictor both round-trip across compressions,
