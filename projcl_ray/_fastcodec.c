@@ -1,11 +1,14 @@
-/* Optional C hot loop for the in-repo JPEG codec (projcl_ray/jpeg.py).
+/* Optional C twins for the in-repo codecs' sequential hot loops: JPEG
+ * baseline/progressive entropy decode (ITU T.81 §F.2/§G.1.2), FLAC Rice /
+ * LPC / CRC-16 (RFC 9639), PNG scanline unfiltering (RFC 2083 §6), and the
+ * TIFF (6.0 §13, early change) and GIF LZW variants.
  *
- * Baseline (SOF0/1) entropy decoding is inherently sequential — one Huffman
- * code at a time — so it cannot be vectorized with numpy; this file is the
- * same algorithm as jpeg._decode_baseline_scan's inner loop (ITU T.81 §F.2),
- * bit-exact, compiled on first use by projcl_ray/fastcodec.py with the
- * system C compiler. Pure-Python decode remains the always-available
- * fallback and the parity oracle (tests pin bit-equality).
+ * Entropy/prefix decoding is inherently sequential — one code at a time —
+ * so it cannot be vectorized with numpy; each function here is the same
+ * algorithm as its pure-Python counterpart, bit-exact, compiled on first
+ * use by projcl_ray/fastcodec.py with the system C compiler. The Python
+ * loops remain the always-available fallbacks and parity oracles (tests
+ * pin bit-equality).
  *
  * Plain C ABI only (ctypes-loaded): no Python.h, no allocation; the caller
  * owns every buffer. Entropy segments arrive unstuffed (0xFF00 removed) and
