@@ -544,3 +544,101 @@ long gif_lzw_decode(const uint8_t *data, long n, int min_code_size,
     }
     return oi < n_pixels ? -3 : 0;
 }
+
+/* ---- Baseline JPEG entropy ENCODE (T.81 F.1.2) — same bit/stuffing/
+ * flush semantics as jpeg._BitWriter + _encode_block, bit-exact. ---- */
+typedef struct {
+    uint8_t *o;
+    long n, cap;
+    uint32_t acc;
+    int nbits;
+} BitWriterC;
+
+static inline int bw_put(BitWriterC *w, uint32_t code, int len)
+{
+    w->acc = (w->acc << len) | (code & ((len == 32 ? 0xFFFFFFFFu
+                                                   : (1u << len) - 1u)));
+    w->nbits += len;
+    while (w->nbits >= 8) {
+        uint8_t byte = (uint8_t)((w->acc >> (w->nbits - 8)) & 0xFFu);
+        if (w->n + 2 > w->cap) return -1;
+        w->o[w->n++] = byte;
+        if (byte == 0xFF) w->o[w->n++] = 0x00; /* byte stuffing */
+        w->nbits -= 8;
+    }
+    w->acc &= (1u << w->nbits) - 1u;
+    return 0;
+}
+
+static inline int bitlen_u32(uint32_t v)
+{
+    return v ? 32 - __builtin_clz(v) : 0;
+}
+
+/* Encode one restart-free segment of a baseline scan into out (stuffed,
+ * flushed with 1-bit padding). Per-component code tables are 256-entry
+ * (code uint16, length uint8; length 0 = symbol absent). DC predictors
+ * reset at segment start, matching the RSTn contract. Returns bytes
+ * written, -1 on buffer overflow, -2 on an unrepresentable symbol. */
+long jpeg_encode_segment(
+    const int32_t **stores,
+    long m_start, long m_count, long mcus_x, int interleaved, int ncomp,
+    const uint16_t **dcc, const uint8_t **dcl,
+    const uint16_t **acc, const uint8_t **acl,
+    const int32_t *vv, const int32_t *hh,
+    const int32_t *bpr, const int32_t *wib,
+    uint8_t *out, long cap)
+{
+    BitWriterC w = {out, 0, cap, 0, 0};
+    int32_t preds[4] = {0, 0, 0, 0};
+    for (int c = 0; c < ncomp; c++)
+        if (vv[c] < 1 || vv[c] > 4 || hh[c] < 1 || hh[c] > 4) return -2;
+    for (long mi = 0; mi < m_count; mi++) {
+        long m = m_start + mi;
+        for (int c = 0; c < ncomp; c++) {
+            long blist[64];
+            int nb = block_list(m, mcus_x, interleaved, vv[c], hh[c],
+                                bpr[c], wib[c], blist);
+            for (int bi = 0; bi < nb; bi++) {
+                const int32_t *zz = stores[c] + blist[bi] * 64;
+                int32_t dc = zz[0];
+                int32_t diff = dc - preds[c];
+                preds[c] = dc;
+                int size = bitlen_u32((uint32_t)(diff < 0 ? -diff : diff));
+                if (dcl[c][size] == 0) return -2;
+                if (bw_put(&w, dcc[c][size], dcl[c][size])) return -1;
+                if (size) {
+                    uint32_t bitsval = (uint32_t)(diff > 0
+                        ? diff : diff + (1 << size) - 1);
+                    if (bw_put(&w, bitsval, size)) return -1;
+                }
+                int prev = 0;
+                for (int k = 1; k < 64; k++) {
+                    int32_t v = zz[k];
+                    if (v == 0) continue;
+                    int run = k - prev - 1;
+                    while (run >= 16) {
+                        if (acl[c][0xF0] == 0) return -2;
+                        if (bw_put(&w, acc[c][0xF0], acl[c][0xF0])) return -1;
+                        run -= 16;
+                    }
+                    size = bitlen_u32((uint32_t)(v < 0 ? -v : v));
+                    int sym = (run << 4) | size;
+                    if (acl[c][sym] == 0) return -2;
+                    if (bw_put(&w, acc[c][sym], acl[c][sym])) return -1;
+                    if (bw_put(&w, (uint32_t)(v > 0 ? v : v + (1 << size) - 1),
+                               size)) return -1;
+                    prev = k;
+                }
+                if (prev != 63) {
+                    if (acl[c][0x00] == 0) return -2;
+                    if (bw_put(&w, acc[c][0x00], acl[c][0x00])) return -1;
+                }
+            }
+        }
+    }
+    if (w.nbits) {
+        if (bw_put(&w, 0x7F, 8 - w.nbits)) return -1; /* 1-bit pad (flush) */
+    }
+    return w.n;
+}

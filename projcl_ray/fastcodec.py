@@ -131,6 +131,17 @@ def lib():
         L.tiff_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, u8p, ctypes.c_long,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        L.jpeg_encode_segment.restype = ctypes.c_long
+        L.jpeg_encode_segment.argtypes = [
+            ctypes.POINTER(i32p),                           # stores
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,    # m_start/count, mcus_x
+            ctypes.c_int, ctypes.c_int,                     # interleaved, ncomp
+            ctypes.POINTER(u16p), ctypes.POINTER(u8p),      # dc code/len
+            ctypes.POINTER(u16p), ctypes.POINTER(u8p),      # ac code/len
+            i32p, i32p, i32p, i32p,                         # v, h, bpr, wib
+            u8p, ctypes.c_long,                             # out, cap
+        ]
         L.gif_lzw_decode.restype = ctypes.c_long
         L.gif_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long,
@@ -379,3 +390,71 @@ def gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
     if rc < 0:
         raise ValueError("GIF: corrupt LZW code")
     return out
+
+
+def _codes_to_arrays(codes: dict):
+    code = np.zeros(256, np.uint16)
+    ln = np.zeros(256, np.uint8)
+    for s, (c, l) in codes.items():
+        code[s] = c
+        ln[s] = l
+    return code, ln
+
+
+def jpeg_encode_scan(comps, tables, restart_interval, mcus_x, mcus_y,
+                     *, interleaved):
+    """C path for a baseline entropy scan (jpeg.encode_jpeg's writer loop):
+    returns the complete stuffed byte stream including RSTn markers, or
+    None when the compiled path is unavailable. Bit-exact with the pure
+    _BitWriter/_encode_block path (parity pinned in pytest)."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    ncomp = len(comps)
+    if ncomp > 4:
+        return None
+    units = (mcus_x * mcus_y if interleaved
+             else comps[0]["wib"] * comps[0]["hib"])
+    blocks_per_unit = (sum(c["v"] * c["h"] for c in comps)
+                       if interleaved else 1)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    arrs = []
+    stores = (i32p * ncomp)()
+    for i, c in enumerate(comps):
+        a = np.ascontiguousarray(c["zz"], np.int32)
+        arrs.append(a)
+        stores[i] = a.ctypes.data_as(i32p)
+    tabs = [tuple(_codes_to_arrays(t) for t in tables[i]) for i in range(ncomp)]
+    arrs += [x for pair in tabs for t in pair for x in t]
+    dcc = (u16p * ncomp)(*[t[0][0].ctypes.data_as(u16p) for t in tabs])
+    dcl = (u8p * ncomp)(*[t[0][1].ctypes.data_as(u8p) for t in tabs])
+    acc = (u16p * ncomp)(*[t[1][0].ctypes.data_as(u16p) for t in tabs])
+    acl = (u8p * ncomp)(*[t[1][1].ctypes.data_as(u8p) for t in tabs])
+    vv = (ctypes.c_int32 * ncomp)(*[c["v"] for c in comps])
+    hh = (ctypes.c_int32 * ncomp)(*[c["h"] for c in comps])
+    bpr = (ctypes.c_int32 * ncomp)(*[c["bpr"] for c in comps])
+    wib = (ctypes.c_int32 * ncomp)(*[c["wib"] for c in comps])
+    step = restart_interval or units
+    pieces = []
+    i = 0
+    m_start = 0
+    while m_start < units:
+        m_count = min(step, units - m_start)
+        cap = m_count * blocks_per_unit * 456 + 64
+        buf = np.empty(cap, np.uint8)
+        rc = L.jpeg_encode_segment(stores, m_start, m_count, mcus_x,
+                                   int(interleaved), ncomp, dcc, dcl,
+                                   acc, acl, vv, hh, bpr, wib,
+                                   buf.ctypes.data_as(u8p), cap)
+        if rc < 0:
+            return None  # overflow/absent symbol: let the pure path handle it
+        if i > 0:
+            pieces.append(bytes([0xFF, 0xD0 + ((i - 1) % 8)]))
+        pieces.append(buf[:rc].tobytes())
+        m_start += m_count
+        i += 1
+    return b"".join(pieces)
