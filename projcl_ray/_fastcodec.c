@@ -642,3 +642,186 @@ long jpeg_encode_segment(
     }
     return w.n;
 }
+
+/* ---- Progressive JPEG entropy ENCODE (T.81 G.1.2) — the three scan
+ * emitters of jpeg._emit_progressive, each usable in two modes:
+ * write_mode=0 counts Huffman symbol frequencies (the Annex-K stats pass;
+ * raw bits don't matter), write_mode=1 writes codes + bits. Bit-exact with
+ * _StatSink/_WriteSink driving the pure emitters. ---- */
+
+/* DC scan, first (Ah=0) or refinement. freq/code/clen are PER COMPONENT
+ * (components sharing a table pass the same pointer). Returns bytes
+ * written (write mode, flushed) / 0 (stats), negative on error. */
+long jpeg_prog_enc_dc(
+    const int32_t **stores, long mcus_x, long mcus_y,
+    int interleaved, int ncomp, int Ah, int Al,
+    const int32_t *vv, const int32_t *hh,
+    const int32_t *bpr, const int32_t *wib, const int32_t *hib,
+    int write_mode, int64_t **freq,
+    const uint16_t **code, const uint8_t **clen,
+    uint8_t *out, long cap)
+{
+    BitWriterC w = {out, 0, cap, 0, 0};
+    int32_t preds[4] = {0, 0, 0, 0};
+    for (int c = 0; c < ncomp; c++)
+        if (vv[c] < 1 || vv[c] > 4 || hh[c] < 1 || hh[c] > 4) return -2;
+    long units = interleaved ? mcus_x * mcus_y : (long)wib[0] * hib[0];
+    for (long m = 0; m < units; m++) {
+        for (int c = 0; c < ncomp; c++) {
+            long blist[64];
+            int nb = block_list(m, mcus_x, interleaved, vv[c], hh[c],
+                                bpr[c], wib[c], blist);
+            for (int bi = 0; bi < nb; bi++) {
+                int32_t dc = stores[c][blist[bi] * 64];
+                if (Ah == 0) {
+                    int32_t v = dc >> Al; /* arithmetic shift, G.1.2.1 */
+                    int32_t diff = v - preds[c];
+                    preds[c] = v;
+                    int size = bitlen_u32((uint32_t)(diff < 0 ? -diff : diff));
+                    if (write_mode) {
+                        if (clen[c][size] == 0) return -2;
+                        if (bw_put(&w, code[c][size], clen[c][size]))
+                            return -1;
+                        if (size && bw_put(&w, (uint32_t)(diff >= 0
+                                ? diff : diff + (1 << size) - 1), size))
+                            return -1;
+                    } else {
+                        freq[c][size]++;
+                    }
+                } else if (write_mode) {
+                    if (bw_put(&w, (uint32_t)((dc >> Al) & 1), 1)) return -1;
+                }
+            }
+        }
+    }
+    if (!write_mode) return 0;
+    if (w.nbits && bw_put(&w, 0x7F, 8 - w.nbits)) return -1;
+    return w.n;
+}
+
+/* First AC scan for one band: run/size with EOB-run accumulation. */
+long jpeg_prog_enc_ac_first(
+    const int32_t *store, long wib, long hib, long bpr,
+    int Ss, int Se, int Al,
+    int write_mode, int64_t *freq,
+    const uint16_t *code, const uint8_t *clen,
+    uint8_t *out, long cap)
+{
+    BitWriterC w = {out, 0, cap, 0, 0};
+    long eobrun = 0;
+#define AC_SYM(s) do { \
+        if (write_mode) { \
+            if (clen[(s)] == 0) return -2; \
+            if (bw_put(&w, code[(s)], clen[(s)])) return -1; \
+        } else freq[(s)]++; \
+    } while (0)
+#define AC_BITS(v, n) do { \
+        if (write_mode && (n) && bw_put(&w, (uint32_t)(v), (n))) return -1; \
+    } while (0)
+#define FLUSH_EOB() do { \
+        if (eobrun > 0) { \
+            int nb_ = bitlen_u32((uint32_t)eobrun) - 1; \
+            AC_SYM(nb_ << 4); \
+            AC_BITS(eobrun & ((1L << nb_) - 1), nb_); \
+            eobrun = 0; \
+        } \
+    } while (0)
+    for (long row = 0; row < hib; row++) {
+        for (long col = 0; col < wib; col++) {
+            const int32_t *zz = store + (row * bpr + col) * 64;
+            int run = 0;
+            for (int k = Ss; k <= Se; k++) {
+                int32_t t = zz[k];
+                t = t >= 0 ? (t >> Al) : -((-t) >> Al);
+                if (t == 0) { run++; continue; }
+                FLUSH_EOB();
+                while (run > 15) { AC_SYM(0xF0); run -= 16; }
+                int size = bitlen_u32((uint32_t)(t < 0 ? -t : t));
+                AC_SYM((run << 4) | size);
+                AC_BITS(t >= 0 ? t : t + (1 << size) - 1, size);
+                run = 0;
+            }
+            if (run > 0) {
+                eobrun++;
+                if (eobrun == 0x7FFF) FLUSH_EOB();
+            }
+        }
+    }
+    FLUSH_EOB();
+    if (!write_mode) return 0;
+    if (w.nbits && bw_put(&w, 0x7F, 8 - w.nbits)) return -1;
+    return w.n;
+}
+
+/* AC refinement scan: correction bits buffered across ZRL/EOB boundaries
+ * (G.1.2.3 / encode_mcu_AC_refine). ``be`` is caller scratch for the
+ * correction bits riding a pending EOB run (>= wib*hib*64 bytes). */
+long jpeg_prog_enc_ac_refine(
+    const int32_t *store, long wib, long hib, long bpr,
+    int Ss, int Se, int Al,
+    int write_mode, int64_t *freq,
+    const uint16_t *code, const uint8_t *clen,
+    uint8_t *be, long be_cap,
+    uint8_t *out, long cap)
+{
+    BitWriterC w = {out, 0, cap, 0, 0};
+    long eobrun = 0, be_n = 0;
+#define RFLUSH_EOB() do { \
+        if (eobrun > 0) { \
+            int nb_ = bitlen_u32((uint32_t)eobrun) - 1; \
+            AC_SYM(nb_ << 4); \
+            AC_BITS(eobrun & ((1L << nb_) - 1), nb_); \
+            eobrun = 0; \
+        } \
+        for (long bb_ = 0; bb_ < be_n; bb_++) AC_BITS(be[bb_], 1); \
+        be_n = 0; \
+    } while (0)
+    for (long row = 0; row < hib; row++) {
+        for (long col = 0; col < wib; col++) {
+            const int32_t *zz = store + (row * bpr + col) * 64;
+            int32_t absv[64];
+            int eob = 0;
+            for (int k = Ss; k <= Se; k++) {
+                int32_t t = zz[k];
+                t = (t < 0 ? -t : t) >> Al;
+                absv[k] = t;
+                if (t == 1) eob = k;
+            }
+            int r = 0;
+            uint8_t br[64];
+            int br_n = 0;
+            for (int k = Ss; k <= Se; k++) {
+                int32_t t = absv[k];
+                if (t == 0) { r++; continue; }
+                while (r > 15 && k <= eob) {
+                    RFLUSH_EOB();
+                    AC_SYM(0xF0);
+                    r -= 16;
+                    for (int bb = 0; bb < br_n; bb++) AC_BITS(br[bb], 1);
+                    br_n = 0;
+                }
+                if (t > 1) { br[br_n++] = (uint8_t)(t & 1); continue; }
+                RFLUSH_EOB();
+                AC_SYM((r << 4) | 1);
+                AC_BITS(zz[k] >= 0 ? 1 : 0, 1);
+                for (int bb = 0; bb < br_n; bb++) AC_BITS(br[bb], 1);
+                br_n = 0;
+                r = 0;
+            }
+            if (r > 0 || br_n) {
+                eobrun++;
+                if (be_n + br_n > be_cap) return -3;
+                for (int bb = 0; bb < br_n; bb++) be[be_n++] = br[bb];
+                if (eobrun == 0x7FFF) RFLUSH_EOB();
+            }
+        }
+    }
+    RFLUSH_EOB();
+    if (!write_mode) return 0;
+    if (w.nbits && bw_put(&w, 0x7F, 8 - w.nbits)) return -1;
+    return w.n;
+}
+#undef AC_SYM
+#undef AC_BITS
+#undef FLUSH_EOB
+#undef RFLUSH_EOB

@@ -132,6 +132,30 @@ def lib():
             ctypes.c_char_p, ctypes.c_long, u8p, ctypes.c_long,
         ]
         u16p = ctypes.POINTER(ctypes.c_uint16)
+        i64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+        L.jpeg_prog_enc_dc.restype = ctypes.c_long
+        L.jpeg_prog_enc_dc.argtypes = [
+            ctypes.POINTER(i32p), ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, i32p, i32p,                   # v h bpr wib hib
+            ctypes.c_int, i64pp,
+            ctypes.POINTER(u16p), ctypes.POINTER(u8p),
+            u8p, ctypes.c_long,
+        ]
+        L.jpeg_prog_enc_ac_first.restype = ctypes.c_long
+        L.jpeg_prog_enc_ac_first.argtypes = [
+            i32p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            u16p, u8p, u8p, ctypes.c_long,
+        ]
+        L.jpeg_prog_enc_ac_refine.restype = ctypes.c_long
+        L.jpeg_prog_enc_ac_refine.argtypes = [
+            i32p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            u16p, u8p, u8p, ctypes.c_long, u8p, ctypes.c_long,
+        ]
         L.jpeg_encode_segment.restype = ctypes.c_long
         L.jpeg_encode_segment.argtypes = [
             ctypes.POINTER(i32p),                           # stores
@@ -458,3 +482,109 @@ def jpeg_encode_scan(comps, tables, restart_interval, mcus_x, mcus_y,
         m_start += m_count
         i += 1
     return b"".join(pieces)
+
+
+def jpeg_prog_emit(scan_comps, Ss, Se, Ah, Al, mcus_x, mcus_y, codes=None):
+    """C path for one progressive-encode scan emission. With codes=None
+    (stats pass) returns {table_key: freq ndarray} like _StatSink.freq;
+    with codes (write pass) returns the flushed stuffed bytes. None when
+    the compiled path is unavailable."""
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    write = codes is not None
+    if Ss == 0:  # DC scan (interleaved allowed)
+        ncomp = len(scan_comps)
+        if ncomp > 4:
+            return None
+        interleaved = ncomp > 1
+        arrs = []
+        stores = (i32p * ncomp)()
+        for i, c in enumerate(scan_comps):
+            a = np.ascontiguousarray(c["zz"], np.int32)
+            arrs.append(a)
+            stores[i] = a.ctypes.data_as(i32p)
+        vv = (ctypes.c_int32 * ncomp)(*[c["v"] for c in scan_comps])
+        hh = (ctypes.c_int32 * ncomp)(*[c["h"] for c in scan_comps])
+        bpr = (ctypes.c_int32 * ncomp)(*[c["bpr"] for c in scan_comps])
+        wib = (ctypes.c_int32 * ncomp)(*[c["wib"] for c in scan_comps])
+        hib = (ctypes.c_int32 * ncomp)(*[c["hib"] for c in scan_comps])
+        units = (mcus_x * mcus_y if interleaved
+                 else scan_comps[0]["wib"] * scan_comps[0]["hib"])
+        blocks = units * (sum(c["v"] * c["h"] for c in scan_comps)
+                          if interleaved else 1)
+        if write:
+            if Ah == 0:
+                tabs = {}
+                for c in scan_comps:
+                    key = ("dc", c["td"])
+                    if key not in tabs:
+                        tabs[key] = _codes_to_arrays(codes[key])
+                arrs += [x for t in tabs.values() for x in t]
+                codep = (u16p * ncomp)(*[
+                    tabs[("dc", c["td"])][0].ctypes.data_as(u16p)
+                    for c in scan_comps])
+                clenp = (u8p * ncomp)(*[
+                    tabs[("dc", c["td"])][1].ctypes.data_as(u8p)
+                    for c in scan_comps])
+            else:  # DC refinement: raw bits only, no Huffman tables
+                codep = clenp = None
+            cap = blocks * 8 + 64
+            buf = np.empty(cap, np.uint8)
+            rc = L.jpeg_prog_enc_dc(stores, mcus_x, mcus_y, int(interleaved),
+                                    ncomp, Ah, Al, vv, hh, bpr, wib, hib,
+                                    1, None, codep, clenp,
+                                    buf.ctypes.data_as(u8p), cap)
+            return None if rc < 0 else buf[:rc].tobytes()
+        if Ah != 0:
+            return {}  # DC refinement emits no Huffman symbols
+        freq_map = {}
+        fptrs = (i64p * ncomp)()
+        for i, c in enumerate(scan_comps):
+            key = ("dc", c["td"])
+            if key not in freq_map:
+                freq_map[key] = np.zeros(256, np.int64)
+            fptrs[i] = freq_map[key].ctypes.data_as(i64p)
+        rc = L.jpeg_prog_enc_dc(stores, mcus_x, mcus_y, int(interleaved),
+                                ncomp, Ah, Al, vv, hh, bpr, wib, hib,
+                                0, fptrs, None, None, None, 0)
+        return None if rc < 0 else freq_map
+    # AC scan: single component
+    c = scan_comps[0]
+    a = np.ascontiguousarray(c["zz"], np.int32)
+    key = ("ac", c["ta"])
+    blocks = c["wib"] * c["hib"]
+    if write:
+        codearr, lenarr = _codes_to_arrays(codes[key])
+        cap = blocks * 456 + 64
+        buf = np.empty(cap, np.uint8)
+        freq_arg = None
+        code_arg = codearr.ctypes.data_as(u16p)
+        len_arg = lenarr.ctypes.data_as(u8p)
+        out_arg, cap_arg = buf.ctypes.data_as(u8p), cap
+        mode = 1
+    else:
+        freq = np.zeros(256, np.int64)
+        freq_arg = freq.ctypes.data_as(i64p)
+        code_arg = len_arg = out_arg = None
+        cap_arg = 0
+        mode = 0
+    if Ah == 0:
+        rc = L.jpeg_prog_enc_ac_first(
+            a.ctypes.data_as(i32p), c["wib"], c["hib"], c["bpr"],
+            Ss, Se, Al, mode, freq_arg, code_arg, len_arg, out_arg, cap_arg)
+    else:
+        be = np.empty(blocks * 64 + 64, np.uint8)
+        rc = L.jpeg_prog_enc_ac_refine(
+            a.ctypes.data_as(i32p), c["wib"], c["hib"], c["bpr"],
+            Ss, Se, Al, mode, freq_arg, code_arg, len_arg,
+            be.ctypes.data_as(u8p), len(be), out_arg, cap_arg)
+    if rc < 0:
+        return None
+    return buf[:rc].tobytes() if write else {key: freq}
