@@ -507,6 +507,17 @@ def test_fastcodec_c_entropy_parity():
                 bufs += [J.encode_jpeg(src, quality=87, subsample=sub,
                                        multiscan=ms, restart_interval=ri)
                          for ms in (False, True) for ri in (1, 5)]
+                # ENCODE parity: the C entropy writers (baseline segment,
+                # progressive count+write emitters) must produce byte-
+                # identical streams to the pure _BitWriter/_emit_* paths
+                for kw in ({}, {"multiscan": True}, {"progressive": True},
+                           {"restart_interval": 2}):
+                    os.environ["PROJCL_NO_FASTCODEC"] = "1"
+                    pure_b = J.encode_jpeg(src, quality=87, subsample=sub,
+                                           **kw)
+                    os.environ["PROJCL_NO_FASTCODEC"] = ""
+                    assert J.encode_jpeg(src, quality=87, subsample=sub,
+                                         **kw) == pure_b
                 for buf in bufs:
                     os.environ["PROJCL_NO_FASTCODEC"] = "1"
                     pure = J.decode_jpeg(buf)
