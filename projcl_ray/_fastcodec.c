@@ -825,3 +825,103 @@ long jpeg_prog_enc_ac_refine(
 #undef AC_BITS
 #undef FLUSH_EOB
 #undef RFLUSH_EOB
+
+/* ---- LZW ENCODE, TIFF and GIF variants — table building is input-
+ * sequential. ``table`` is caller scratch (4096*256 int16, keyed
+ * prev_code*256+byte). Byte-exact with _lzw_encode_tiff / gif._lzw_encode
+ * (which stay the fallbacks and parity oracles). ---- */
+
+long tiff_lzw_encode(const uint8_t *data, long n, int16_t *table,
+                     uint8_t *out, long cap)
+{
+    uint32_t acc = 0;
+    int nbits = 0;
+    long on = 0;
+#define EMIT_MSB(code_, w_) do { \
+        acc = (acc << (w_)) | (uint32_t)(code_); \
+        nbits += (w_); \
+        while (nbits >= 8) { \
+            if (on >= cap) return -1; \
+            out[on++] = (uint8_t)((acc >> (nbits - 8)) & 0xFFu); \
+            nbits -= 8; \
+            acc &= (1u << nbits) - 1u; \
+        } \
+    } while (0)
+    memset(table, 0xFF, 4096 * 256 * sizeof(int16_t));
+    int next = 258, width = 9, prev = -1;
+    EMIT_MSB(256, width); /* clear */
+    for (long i = 0; i < n; i++) {
+        int b = data[i];
+        if (prev < 0) { prev = b; continue; }
+        int16_t hit = table[prev * 256 + b];
+        if (hit >= 0) { prev = hit; continue; }
+        EMIT_MSB(prev, width);
+        table[prev * 256 + b] = (int16_t)next;
+        next++;
+        /* early change: decoder grows at len==2^w-1, we are one ahead */
+        if (next == (1 << width) && width < 12) width++;
+        if (next == 4094) { /* re-clear before the table tops out */
+            EMIT_MSB(256, width);
+            memset(table, 0xFF, 4096 * 256 * sizeof(int16_t));
+            next = 258;
+            width = 9;
+        }
+        prev = b;
+    }
+    if (prev >= 0) EMIT_MSB(prev, width);
+    EMIT_MSB(257, width); /* EOI */
+    if (nbits) {
+        if (on >= cap) return -1;
+        out[on++] = (uint8_t)((acc << (8 - nbits)) & 0xFFu);
+    }
+    return on;
+#undef EMIT_MSB
+}
+
+long gif_lzw_encode(const uint8_t *data, long n, int min_code_size,
+                    int16_t *table, uint8_t *out, long cap)
+{
+    int clear = 1 << min_code_size, end = clear + 1;
+    uint32_t acc = 0;
+    int nbits = 0;
+    long on = 0;
+#define EMIT_LSB(code_, w_) do { \
+        acc |= (uint32_t)(code_) << nbits; \
+        nbits += (w_); \
+        while (nbits >= 8) { \
+            if (on >= cap) return -1; \
+            out[on++] = (uint8_t)(acc & 0xFFu); \
+            acc >>= 8; \
+            nbits -= 8; \
+        } \
+    } while (0)
+    memset(table, 0xFF, 4096 * 256 * sizeof(int16_t));
+    int next = end + 1, width = min_code_size + 1, prev = -1;
+    EMIT_LSB(clear, width);
+    for (long i = 0; i < n; i++) {
+        int b = data[i];
+        if (prev < 0) { prev = b; continue; }
+        int16_t hit = table[prev * 256 + b];
+        if (hit >= 0) { prev = hit; continue; }
+        EMIT_LSB(prev, width);
+        if (next < 4096) {
+            table[prev * 256 + b] = (int16_t)next;
+            if (next == (1 << width) && width < 12) width++;
+            next++;
+        } else { /* table full: re-clear */
+            EMIT_LSB(clear, width);
+            memset(table, 0xFF, 4096 * 256 * sizeof(int16_t));
+            next = end + 1;
+            width = min_code_size + 1;
+        }
+        prev = b;
+    }
+    if (prev >= 0) EMIT_LSB(prev, width);
+    EMIT_LSB(end, width);
+    if (nbits) {
+        if (on >= cap) return -1;
+        out[on++] = (uint8_t)(acc & 0xFFu);
+    }
+    return on;
+#undef EMIT_LSB
+}

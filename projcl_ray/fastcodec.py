@@ -170,6 +170,16 @@ def lib():
         L.gif_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, u8p, ctypes.c_long,
         ]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        L.tiff_lzw_encode.restype = ctypes.c_long
+        L.tiff_lzw_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, i16p, u8p, ctypes.c_long,
+        ]
+        L.gif_lzw_encode.restype = ctypes.c_long
+        L.gif_lzw_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, i16p, u8p,
+            ctypes.c_long,
+        ]
         _LIB = L
     except OSError:
         _LIB = None
@@ -588,3 +598,29 @@ def jpeg_prog_emit(scan_comps, Ss, Se, Ah, Al, mcus_x, mcus_y, codes=None):
     if rc < 0:
         return None
     return buf[:rc].tobytes() if write else {key: freq}
+
+
+def _lzw_encode_c(fn_name: str, data: bytes, *extra):
+    if _disabled():
+        return None
+    L = lib()
+    if L is None:
+        return None
+    table = np.empty(4096 * 256, np.int16)
+    cap = len(data) * 2 + 64  # worst case ~12 bits per input byte
+    out = np.empty(cap, np.uint8)
+    fn = getattr(L, fn_name)
+    rc = fn(data, len(data), *extra,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    return None if rc < 0 else out[:rc].tobytes()
+
+
+def tiff_lzw_encode(data: bytes):
+    """C path for tiff._lzw_encode_tiff; None when unavailable."""
+    return _lzw_encode_c("tiff_lzw_encode", data)
+
+
+def gif_lzw_encode(data: bytes, min_code_size: int):
+    """C path for gif._lzw_encode; None when unavailable."""
+    return _lzw_encode_c("gif_lzw_encode", data, min_code_size)
