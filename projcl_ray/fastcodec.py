@@ -220,7 +220,8 @@ def jpeg_baseline_scan(store, scan, huff, restart_interval, segments,
     ptrs = (ctypes.POINTER(ctypes.c_int32) * ncomp)()
     for i, s in enumerate(scan):
         a = store[s["id"]]
-        assert a.dtype == np.int32 and a.flags.c_contiguous
+        if a.dtype != np.int32 or not a.flags.c_contiguous:
+            return False  # pure path handles it; never hand ctypes a bad view
         arrs.append(a)
         ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     step = restart_interval or units
@@ -272,7 +273,8 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
         arrs = []
         for i, s in enumerate(scan):
             a = store[s["id"]]
-            assert a.dtype == np.int32 and a.flags.c_contiguous
+            if a.dtype != np.int32 or not a.flags.c_contiguous:
+                return False  # pure path handles it; never hand ctypes a bad view
             arrs.append(a)
             ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         step = restart_interval or units
@@ -295,7 +297,8 @@ def jpeg_progressive_scan(store, scan, huff, Ss, Se, Ah, Al,
         return False
     s = scan[0]
     a = store[s["id"]]
-    assert a.dtype == np.int32 and a.flags.c_contiguous
+    if a.dtype != np.int32 or not a.flags.c_contiguous:
+        return False  # pure path handles it; never hand ctypes a bad view
     sym, ln = huff[(1, s["ac"])]
     sym_b, len_b = sym.tobytes(), ln.tobytes()
     units = s["wib"] * s["hib"]

@@ -210,25 +210,40 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def _read_ifd_entries(buf: bytes, e: str, ifd_off: int):
-    (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
-    tags = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + i * 12
-        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
-        size = _TYPE_SIZE.get(typ, 1) * count
-        if size <= 4:
-            data_off = off + 8
-        else:
-            (data_off,) = struct.unpack_from(e + "I", buf, off + 8)
-        if typ in _TYPE_FMT:
-            vals = struct.unpack_from(e + str(count) + _TYPE_FMT[typ], buf, data_off)
-        elif typ == 5:  # RATIONAL
-            raw = struct.unpack_from(e + str(2 * count) + "I", buf, data_off)
-            vals = tuple(a / b if b else 0.0 for a, b in zip(raw[::2], raw[1::2]))
-        else:
-            vals = (buf[data_off:data_off + size],)
-        tags[tag] = vals
-    return tags
+    """Parse one IFD. Tag count/type/count are file-controlled: every size
+    is bounded against len(buf) before unpacking, and struct errors from a
+    truncated directory re-raise as the codecs' shared ValueError contract
+    (a huge uint32 count otherwise builds a giant transient format string)."""
+    try:
+        if ifd_off + 2 > len(buf):
+            raise ValueError("corrupt TIFF: IFD offset past end of file")
+        (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
+        if ifd_off + 2 + n_entries * 12 > len(buf):
+            raise ValueError("corrupt TIFF: truncated IFD directory")
+        tags = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + i * 12
+            tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+            size = _TYPE_SIZE.get(typ, 1) * count
+            if size <= 4:
+                data_off = off + 8
+            else:
+                (data_off,) = struct.unpack_from(e + "I", buf, off + 8)
+            if data_off + size > len(buf):
+                raise ValueError("corrupt TIFF: tag value past end of file")
+            if typ in _TYPE_FMT:
+                vals = struct.unpack_from(e + str(count) + _TYPE_FMT[typ],
+                                          buf, data_off)
+            elif typ == 5:  # RATIONAL
+                raw = struct.unpack_from(e + str(2 * count) + "I", buf, data_off)
+                vals = tuple(a / b if b else 0.0
+                             for a, b in zip(raw[::2], raw[1::2]))
+            else:
+                vals = (buf[data_off:data_off + size],)
+            tags[tag] = vals
+        return tags
+    except struct.error as exc:
+        raise ValueError(f"corrupt TIFF: {exc}") from exc
 
 
 def _decode_segments(buf, e, tags, offsets, counts, seg_w, seg_h, spp, raw_len):

@@ -99,3 +99,71 @@ def test_ima_adpcm_tracks_smooth_signals_property(seed, n, ch):
     assert len(x) == len(ref)
     err = np.sqrt(((x - ref) ** 2).mean())
     assert err < 0.03  # ~30 dB below full scale on band-limited input
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-input contracts (round-5 ADVICE): every malformed stream raises
+# ValueError('corrupt ...'), never a bare struct.error / KeyError, and
+# spec-legal oddities (JPEG 0xFF fill bytes, T.81 B.1.1.2) still decode.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from projcl_ray import jpeg
+
+
+def _sample_rgba(h=24, w=17, seed=7):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    buf = jpeg.encode_jpeg(_sample_rgba(), quality=85)
+    base = jpeg.decode_jpeg(buf)
+    # insert 0xFF fill runs before SOF/DHT/SOS/EOI markers (T.81 B.1.1.2)
+    out = bytearray()
+    i = 0
+    while i < len(buf):
+        if buf[i] == 0xFF and i + 1 < len(buf) and buf[i + 1] in (
+                0xC0, 0xC4, 0xDA, 0xD9):
+            out += b"\xFF\xFF\xFF"  # fill bytes, then the real FF-marker
+        out.append(buf[i])
+        i += 1
+    padded = jpeg.decode_jpeg(bytes(out))
+    assert np.array_equal(base, padded)
+
+
+def test_jpeg_scan_undefined_component_raises_valueerror():
+    buf = bytearray(jpeg.encode_jpeg(_sample_rgba(), quality=85))
+    sos = bytes(buf).find(b"\xFF\xDA")
+    assert sos > 0
+    buf[sos + 5] = 99  # first scan component id → one the SOF never defined
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_jpeg_scan_undefined_huffman_table_raises_valueerror():
+    buf = bytearray(jpeg.encode_jpeg(_sample_rgba(), quality=85))
+    sos = bytes(buf).find(b"\xFF\xDA")
+    assert sos > 0
+    buf[sos + 6] = 0x33  # Td=3/Ta=3: tables never written by the encoder
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_tiff_truncated_ifd_raises_valueerror():
+    buf = tiff.encode_tiff(_sample_rgba())
+    tiff.decode_tiff(buf)  # sanity: intact file decodes
+    with pytest.raises(ValueError, match="corrupt TIFF"):
+        tiff.decode_tiff(buf[:10])  # header ok, IFD gone
+
+
+def test_tiff_huge_tag_count_raises_valueerror_fast():
+    buf = bytearray(tiff.encode_tiff(_sample_rgba()))
+    (ifd_off,) = np.frombuffer(bytes(buf[4:8]), np.uint32)
+    # overwrite the entry count with a count that cannot fit the buffer
+    buf[ifd_off:ifd_off + 2] = (0xFFFF).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="corrupt TIFF"):
+        tiff.decode_tiff(bytes(buf))
