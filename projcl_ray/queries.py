@@ -1309,34 +1309,108 @@ def q_filter(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _phash_tiles(tiles: rd.Dataset, tile_px: int = 64) -> rd.Dataset:
-    """Shared tail of every codec-ingest query: per-tile perceptual hash.
-    The ingest queries pin tile_phash equality against the raw path in
-    pytest, so all of them MUST hash identically — one helper, not five
-    hand-synced closures."""
-    from .images import decode_image, phash64
-
-    def tile_hash(batch: pa.Table) -> pa.Table:
-        hs = [phash64(decode_image(b, tile_px, tile_px, "raw"))
-              for b in batch["bytes"].to_pylist()]
-        return pa.table({
-            "image_id": batch["image_id"], "cell_id": batch["cell_id"],
-            "tile_idx": batch["tile_idx"], "tile_phash": pa.array(hs, pa.int64()),
-        })
-
-    return tiles.map_batches(tile_hash, batch_format="pyarrow")
+def _ingest_layout(tiles: rd.Dataset) -> pd.DataFrame:
+    """Oracle-comparable tail of the ingest/warp queries: the tile LAYOUT —
+    (image_id, tile_col/row/idx, cell_id, quantized tile-center lon/lat) —
+    is a pure function of each image's georeference and the projection
+    math, so it hash-compares against a DuckDB transcription
+    (:func:`_ingest_oracle_sql`). Pixel CONTENT stays pinned by the
+    bit-equality/PSNR pytests (tests/test_warp.py), per VERDICT r4 §next-3."""
+    df = tiles.select_columns(
+        ["image_id", "tile_col", "tile_row", "tile_idx", "cell_id",
+         "center_lon", "center_lat"]).to_pandas()
+    for c in ("tile_col", "tile_row", "tile_idx", "cell_id"):
+        df[c] = df[c].astype(np.int64)  # match the oracle's BIGINT lattice
+    df = _quant_df(df, {"center_lon": 1e4, "center_lat": 1e4})
+    return df.rename(columns={"center_lon": "clon_q", "center_lat": "clat_q"})
 
 
-@q("warp_tile_pipeline")
+_META_CACHE: dict[tuple, list] = {}
+
+
+def _synth_meta(n: int, seed: int) -> list[tuple]:
+    """Georeference metadata of synth_images_table(n, seed) — deterministic,
+    pixel-independent, inlined into the ingest oracles as a VALUES list."""
+    key = (n, seed)
+    if key not in _META_CACHE:
+        from .images import synth_images_table
+
+        t = synth_images_table(n, seed=seed)
+        _META_CACHE[key] = list(zip(
+            t["image_id"].to_pylist(), t["w"].to_pylist(), t["h"].to_pylist(),
+            t["lon0"].to_pylist(), t["lat0"].to_pylist(),
+            t["px_deg"].to_pylist()))
+    return _META_CACHE[key]
+
+
+def _ingest_oracle_sql(n: int, seed: int, *, tile: int = 64,
+                       n_iter: int = 8) -> str:
+    """DuckDB transcription of warp_and_tile's tile layout for a
+    synth_images_table corpus under ellipsoidal Mercator (the projection all
+    ingest queries use): projected window from the image extent (Mercator is
+    separable-monotone, so the 33-point edge min/max reduces to the corner
+    values), ceil-division tile grid, row-first tile_idx
+    (pl_sample_nearest.opencl:37-39), tile-center inverse projection
+    (pl_phi2 fixed point unrolled ``n_iter`` CTE layers — converges to
+    <1e-15 rad in 6), and the res=5° cell_id floor. Constants inlined via
+    repr() per the module convention."""
+    from .index import nx as _nx_fn, ny as _ny_fn
+
+    meta = _synth_meta(n, seed)
+    rows = ",\n  ".join(
+        f"('{iid}', {w}, {h}, {lon0!r}, {lat0!r}, {pxd!r})"
+        for iid, w, h, lon0, lat0, pxd in meta)
+    A, E = A_WGS, E_WGS
+    res = DEFAULT_RES_DEG
+    nx_, ny_ = _nx_fn(res), _ny_fn(res)
+
+    def merc_y(lat_expr: str) -> str:
+        return (f"({_asinh(f'tan(radians({lat_expr}))')}"
+                f" - {E!r}*{_atanh(f'{E!r}*sin(radians({lat_expr}))')})")
+
+    step = f"yy + {E!r}*{_atanh(f'{E!r}*sin(phi)')}"
+    its = "\n".join(
+        f"i{k + 1} AS (SELECT * EXCLUDE (phi), atan({_sinh(step)}) AS phi FROM i{k}),"
+        for k in range(n_iter))
+    return f"""
+WITH imgs(image_id, w, h, lon0, lat0, px_deg) AS (VALUES
+  {rows}),
+win AS (SELECT *,
+  {A!r}*radians(lon0) AS x0w,
+  {A!r}*radians(lon0 + px_deg*(w-1)) AS x1w,
+  {A!r}*{merc_y('lat0 - px_deg*(h-1)')} AS y0w,
+  {A!r}*{merc_y('lat0')} AS y1w,
+  CAST(ceil(w/{float(tile)!r}) AS BIGINT) AS ta,
+  CAST(ceil(h/{float(tile)!r}) AS BIGINT) AS td
+  FROM imgs),
+ser AS (SELECT * FROM generate_series(0, 63) s(i)),
+tl AS (SELECT w.*, sx.i AS tile_col, sy.i AS tile_row
+       FROM win w, ser sx, ser sy WHERE sx.i < w.ta AND sy.i < w.td),
+inv AS (SELECT *,
+  (x0w + (x1w-x0w)*least((tile_col+0.5)*{float(tile)!r}/greatest(w-1,1), 1.0))/{A!r} AS lam,
+  (y0w + (y1w-y0w)*least((tile_row+0.5)*{float(tile)!r}/greatest(h-1,1), 1.0))/{A!r} AS yy
+  FROM tl),
+i0 AS (SELECT *, atan({_sinh('yy')}) AS phi FROM inv),
+{its}
+geo AS (SELECT *, degrees(lam) AS clon, degrees(phi) AS clat FROM i{n_iter})
+SELECT image_id, tile_col, tile_row,
+  tile_col + tile_row*ta AS tile_idx,
+  least(greatest(CAST(floor((clat+90.0)/{res!r}) AS BIGINT), 0), {ny_ - 1})*{nx_}
+    + least(greatest(CAST(floor((clon+180.0)/{res!r}) AS BIGINT), 0), {nx_ - 1}) AS cell_id,
+  CAST(floor(clon*10000.0 + 0.5) AS BIGINT) AS clon_q,
+  CAST(floor(clat*10000.0 + 0.5) AS BIGINT) AS clat_q
+FROM geo
+"""
+
+
+@q("warp_tile_pipeline", _ingest_oracle_sql(32, 42))
 def q_warp_tiles(sf_dir: str):
     from .images import synth_images_table
 
     ds = rd.from_arrow(synth_images_table(32, seed=42))
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8, concurrency=2)
-    return tiles.select_columns(
-        ["image_id", "caption", "cell_id", "tile_col", "tile_row", "tile_idx", "w", "h"]
-    )
+    return _ingest_layout(tiles)
 
 
 @q("geotiff_export_resume")  # rows-only (filesystem sink; parity in pytest)
@@ -1359,13 +1433,15 @@ def q_geotiff_export(sf_dir: str):
     return write_geotiffs(ds, out)  # second run: all rows skipped=True
 
 
-@q("geotiff_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+@q("geotiff_ingest_warp_tile", _ingest_oracle_sql(24, 42))
 def q_geotiff_ingest(sf_dir: str):
     """GeoTIFF ingest end-to-end: bare georeferenced-raster blobs (pixels +
     embedded ModelPixelScale/ModelTiepoint tags, NO sidecar georeference
     columns) → ops.ingest_geotiff (in-repo tiff.py codec recovers GeoRef
-    from the tags) → warp → tile → per-tile phash. Deflate is lossless and
-    the tags are float64, so tests pin tile bit-equality vs the raw path."""
+    from the tags) → warp → tile → oracle-checked tile layout (the DOUBLE
+    tags round-trip the georeference exactly, so the layout hash-compares
+    against the DuckDB transcription); tests pin tile PIXEL bit-equality
+    vs the raw path."""
     from .images import decode_image, synth_images_table
     from .tiff import GeoTags, encode_tiff
 
@@ -1380,17 +1456,18 @@ def q_geotiff_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    return _phash_tiles(tiles)
+    return _ingest_layout(tiles)
 
 
-@q("geotiff_dem_ingest_warp_tile")  # pixel op — determinism gated in pytest
+@q("geotiff_dem_ingest_warp_tile", _ingest_oracle_sql(24, 43))
 def q_geotiff_dem_ingest(sf_dir: str):
     """Deep-sample GeoTIFF ingest: single-band float32 elevation rasters
     (the real-world DEM/band layout — BitsPerSample 32, SampleFormat 3,
     embedded georeference) → ops.ingest_geotiff, whose decode maps the
     native samples through the deterministic min-max 8-bit preview
     (decode_tiff_native keeps the exact values for numeric pipelines) →
-    warp → tile → per-tile phash."""
+    warp → tile → oracle-checked tile layout; pixel determinism is gated
+    in pytest."""
     from .images import decode_image, synth_images_table
     from .tiff import GeoTags, encode_tiff
 
@@ -1408,7 +1485,7 @@ def q_geotiff_dem_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    return _phash_tiles(tiles)
+    return _ingest_layout(tiles)
 
 
 @q("zonal_stats_dem")  # pixel-derived values — exact brute-force oracle in pytest
@@ -1458,14 +1535,14 @@ def q_dem_terrain(sf_dir: str):
         rd.from_arrow(pa.Table.from_pylist(blobs)).repartition(8))
 
 
-@q("gif_bmp_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+@q("gif_bmp_ingest_warp_tile", _ingest_oracle_sql(24, 42))
 def q_gif_bmp_ingest(sf_dir: str):
     """Mixed palette/DIB ingest: the images table stored alternately as GIF
     (64-color-quantized — GIF is a palette format; alternate files are
     interlaced) and BMP (24-bit DIB), decoded by the in-repo codecs
-    (gif.py, bmp.py) → warp → tile → per-tile phash. Both formats are
-    lossless here, so tests pin bit-equality against the raw path on the
-    same quantized pixels."""
+    (gif.py, bmp.py) → warp → tile → oracle-checked tile layout. Both
+    formats are lossless here, so tests pin PIXEL bit-equality against the
+    raw path on the same quantized pixels."""
     from .images import decode_image, encode_image, synth_images_table
 
     rows = synth_images_table(24, seed=42).to_pylist()
@@ -1483,16 +1560,16 @@ def q_gif_bmp_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    return _phash_tiles(tiles)
+    return _ingest_layout(tiles)
 
 
-@q("png_ingest_warp_tile")  # pixel op — raw-path bit-equality gated in pytest
+@q("png_ingest_warp_tile", _ingest_oracle_sql(24, 42))
 def q_png_ingest(sf_dir: str):
     """Compressed-ingest pipeline: the images table stored as PNG (in-repo
-    pure-Python codec, projcl_ray/png.py) → decode → warp → tile. Returns the
-    tile layout plus a per-tile phash so the driver's rows-only gate still
-    pins pixel content; tests/test_warp.py proves bit-equality with the raw
-    path (the reference ingests arbitrary images, projcl_warp.c:68-107)."""
+    pure-Python codec, projcl_ray/png.py) → decode → warp → tile. Returns
+    the oracle-checked tile layout; tests/test_warp.py proves pixel
+    bit-equality with the raw path (the reference ingests arbitrary
+    images, projcl_warp.c:68-107)."""
     from . import png as png_mod
     from .images import decode_image, synth_images_table
 
@@ -1507,37 +1584,14 @@ def q_png_ingest(sf_dir: str):
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=64, batch_size=8)
 
-    return _phash_tiles(tiles)
+    return _ingest_layout(tiles)
 
 
-@q("jpeg_ingest_warp_tile")  # lossy pixel op — rows-only (codec gate in pytest)
-def q_jpeg_ingest(sf_dir: str):
-    """Compressed LOSSY ingest: the images table re-encoded as baseline JFIF
-    (in-repo pure-Python codec, projcl_ray/jpeg.py, q=92 4:2:0) → decode →
-    warp → tile; per-tile phash pins pixel content deterministically."""
-    from . import jpeg as jpeg_mod
-    from .images import decode_image, synth_images_table
-
-    rows = synth_images_table(24, seed=42).to_pylist()
-    for r in rows:
-        img = decode_image(r["bytes"], r["w"], r["h"], "raw")
-        r["bytes"] = jpeg_mod.encode_jpeg(img, quality=92, subsample=True)
-        r["fmt"] = "jpeg"
-    ds = rd.from_arrow(pa.Table.from_pylist(rows))
-    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
-                              tile_size=64, batch_size=8)
-
-    return _phash_tiles(tiles)
-
-
-@q("jpeg_progressive_ingest_warp_tile")  # lossy pixel op — rows-only
-def q_jpeg_progressive_ingest(sf_dir: str):
-    """Progressive-JPEG ingest: the images table re-encoded as SOF2
-    multi-scan JFIF (spectral selection + successive approximation,
-    projcl_ray/jpeg.py) → decode → warp → tile. Same quality/subsampling as
-    jpeg_ingest_warp_tile, and the progressive decode is coefficient-exact
-    vs baseline, so tests/test_warp.py pins this query's per-tile phashes
-    equal to the baseline-JPEG query's."""
+def _jpeg_ingest_tiles(progressive: bool) -> rd.Dataset:
+    """Shared tile builder of the two JPEG ingest queries AND the pytest
+    pixel gate (test_jpeg_progressive_query_matches_baseline_query compares
+    the two paths' tile BYTES bit-exactly — a progressive re-encode at the
+    same quality/subsampling carries identical quantized coefficients)."""
     from . import jpeg as jpeg_mod
     from .images import decode_image, synth_images_table
 
@@ -1545,13 +1599,31 @@ def q_jpeg_progressive_ingest(sf_dir: str):
     for r in rows:
         img = decode_image(r["bytes"], r["w"], r["h"], "raw")
         r["bytes"] = jpeg_mod.encode_jpeg(img, quality=92, subsample=True,
-                                          progressive=True)
+                                          progressive=progressive)
         r["fmt"] = "jpeg"
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
-    tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
-                              tile_size=64, batch_size=8)
+    return ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
+                             tile_size=64, batch_size=8)
 
-    return _phash_tiles(tiles)
+
+@q("jpeg_ingest_warp_tile", _ingest_oracle_sql(24, 42))
+def q_jpeg_ingest(sf_dir: str):
+    """Compressed LOSSY ingest: the images table re-encoded as baseline JFIF
+    (in-repo pure-Python codec, projcl_ray/jpeg.py, q=92 4:2:0) → decode →
+    warp → tile. Layout is lossy-independent, so it hash-compares against
+    the DuckDB oracle; pixel content is pinned by the codec pytests."""
+    return _ingest_layout(_jpeg_ingest_tiles(progressive=False))
+
+
+@q("jpeg_progressive_ingest_warp_tile", _ingest_oracle_sql(24, 42))
+def q_jpeg_progressive_ingest(sf_dir: str):
+    """Progressive-JPEG ingest: the images table re-encoded as SOF2
+    multi-scan JFIF (spectral selection + successive approximation,
+    projcl_ray/jpeg.py) → decode → warp → tile. Same quality/subsampling as
+    jpeg_ingest_warp_tile, and the progressive decode is coefficient-exact
+    vs baseline, so tests/test_warp.py pins this query's tile bytes equal
+    to the baseline-JPEG query's; the layout hash-compares vs DuckDB."""
+    return _ingest_layout(_jpeg_ingest_tiles(progressive=True))
 
 
 @q("flagship_cells")

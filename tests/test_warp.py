@@ -612,19 +612,20 @@ def test_fast_codec_swapin_parity():
 
 
 def test_jpeg_progressive_query_matches_baseline_query(ray_session):
-    """jpeg_progressive_ingest_warp_tile must produce the EXACT same per-tile
-    phashes as jpeg_ingest_warp_tile: a progressive re-encode at the same
-    quality/subsampling carries identical quantized coefficients, so the two
-    ingest paths are pixel-identical end to end."""
-    from projcl_ray.queries import QUERIES
+    """The progressive-JPEG ingest path must produce BIT-IDENTICAL tiles to
+    the baseline-JPEG path: a progressive re-encode at the same quality/
+    subsampling carries identical quantized coefficients, so the two ingest
+    pipelines are pixel-identical end to end. (The registered queries now
+    return the oracle-checked tile LAYOUT; this test is the pixel gate.)"""
+    from projcl_ray.queries import _jpeg_ingest_tiles
 
     key = ["image_id", "tile_idx"]
-    base = QUERIES["jpeg_ingest_warp_tile"]("unused").to_pandas()
-    prog = QUERIES["jpeg_progressive_ingest_warp_tile"]("unused").to_pandas()
+    base = _jpeg_ingest_tiles(progressive=False).to_pandas()
+    prog = _jpeg_ingest_tiles(progressive=True).to_pandas()
     a = base.sort_values(key).reset_index(drop=True)
     b = prog.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) > 0
-    assert (a["tile_phash"] == b["tile_phash"]).all()
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))  # bit-identical
     assert (a["cell_id"] == b["cell_id"]).all()
 
 
