@@ -106,14 +106,71 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
+def _pil_encode(arr: np.ndarray, fmt: str, kw: dict) -> bytes | None:
+    """ENCODE-side swap-in, mirroring decode_image's PIL preference: when an
+    optimized codec library is importable, prefer it for the formats whose
+    in-repo encoders are the measured per-core ceilings (GIF palette
+    mapping; see BENCH/codec_throughput_r4.json). Used only when the
+    requested options are expressible through PIL without changing
+    decoded-pixel semantics:
+
+    - png: no kwargs (``filter_type`` tunes the in-repo compressor only;
+      lossless either way);
+    - jpeg: ``quality``/``subsample`` map 1:1 to libjpeg options (lossy
+      format — coefficient-parity pipelines call jpeg.encode_jpeg
+      directly and are unaffected);
+    - gif: no kwargs, fully-opaque, ≤256 distinct colors — the palette is
+      built EXACTLY in numpy so PIL only runs the LZW compressor
+      (lossless by construction; PIL's own ADAPTIVE median-cut carries no
+      exactness guarantee).
+
+    Returns None → caller falls through to the in-repo codec (always
+    available, the determinism oracle). ``PROJCL_PURE_CODECS=1`` disables
+    this hook like the decode one."""
+    pil = _pil()
+    if pil is None or arr.ndim != 3 or arr.shape[2] != CHANNELS \
+            or arr.dtype != np.uint8:
+        return None
+    import io
+
+    bio = io.BytesIO()
+    if fmt == "png" and not kw:
+        pil.fromarray(arr, "RGBA").save(bio, "PNG")
+        return bio.getvalue()
+    if fmt == "jpeg" and set(kw) <= {"quality", "subsample"}:
+        pil.fromarray(np.ascontiguousarray(arr[..., :3]), "RGB").save(
+            bio, "JPEG", quality=int(kw.get("quality", 90)),
+            subsampling=2 if kw.get("subsample", False) else 0)
+        return bio.getvalue()
+    if fmt == "gif" and not kw and bool((arr[..., 3] == 255).all()):
+        flat = arr[..., :3].reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            return None  # in-repo encoder owns the error contract
+        im = pil.fromarray(
+            inverse.astype(np.uint8).reshape(arr.shape[:2]), "P")
+        pal = np.zeros((256, 3), np.uint8)
+        pal[: len(colors)] = colors
+        im.putpalette(pal.ravel().tolist())
+        im.save(bio, "GIF")
+        return bio.getvalue()
+    return None
+
+
 def encode_image(arr: np.ndarray, fmt: str = "raw", **png_kw) -> bytes:
     """(h, w, 4) uint8 → bytes. ``raw``, ``png``, ``jpeg``, ``gif`` and
     ``bmp`` always available via the in-repo pure-Python codecs (png: pass
     ``filter_type=4`` for ~2× smaller files; jpeg: ``quality=``,
     ``subsample=`` — lossy, alpha dropped; gif: palette format, lossless
-    only for <=255 distinct colors — quantize first)."""
+    only for <=255 distinct colors — quantize first). When PIL is
+    importable it is preferred for png/jpeg/gif where the options allow
+    (see :func:`_pil_encode`)."""
     if fmt == "raw":
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+    if fmt in ("png", "jpeg", "gif"):
+        buf = _pil_encode(np.ascontiguousarray(arr, dtype=np.uint8), fmt, png_kw)
+        if buf is not None:
+            return buf
     if fmt == "png":
         from . import png as _png
 

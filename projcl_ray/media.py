@@ -22,10 +22,37 @@ wide, so batch_size stays small and blocks narrow — same rule as images).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+_SF_MOD = None  # probed once per process (0 = probed, absent)
+
+
+def _soundfile():
+    """libsndfile (``soundfile``) swap-in probe — the audio mirror of
+    images._pil. Returns the module when importable and not disabled via
+    ``PROJCL_PURE_CODECS`` (same off-spellings contract as images._pil).
+    Used by the ENCODE sinks only (encode_flac, encode_wav_ima_adpcm):
+    the in-repo pure-Python encoders are the measured per-core ceilings
+    (FLAC 1.6-2.2 MB/s, IMA 2.6 MB/s — BENCH/codec_throughput_r4.json),
+    while decode already has the C fastcodec twins. The in-repo encoders
+    stay as the always-available fallback and determinism oracle."""
+    global _SF_MOD
+    if os.environ.get("PROJCL_PURE_CODECS", "").lower() not in (
+            "", "0", "false", "no", "off"):
+        return None
+    if _SF_MOD is None:
+        try:
+            import soundfile as sf  # noqa: PLC0415
+
+            _SF_MOD = sf
+        except Exception:
+            _SF_MOD = 0
+    return _SF_MOD or None
 
 
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
@@ -263,8 +290,20 @@ def _ima_encode(pcm: np.ndarray, block_samples: int = 1017) -> tuple[bytes, int]
 
 def encode_wav_ima_adpcm(pcm: np.ndarray, sample_rate: int) -> bytes:
     """int16 PCM (1-D mono or (n, ch)) → RIFF/WAVE with IMA ADPCM (format
-    0x11) payload, incl. the required ``fact`` chunk."""
+    0x11) payload, incl. the required ``fact`` chunk. Prefers libsndfile
+    when importable (see :func:`_soundfile` — IMA is lossy, so the two
+    encoders differ in bytes but track the same signal; the smooth-signal
+    property pytest holds for both)."""
     import struct
+
+    sf = _soundfile()
+    if sf is not None:
+        import io
+
+        bio = io.BytesIO()
+        sf.write(bio, np.ascontiguousarray(pcm, np.int16), sample_rate,
+                 format="WAV", subtype="IMA_ADPCM")
+        return bio.getvalue()
 
     pcm = np.ascontiguousarray(pcm, "<i2")
     ch = 1 if pcm.ndim == 1 else pcm.shape[1]

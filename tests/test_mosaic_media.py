@@ -453,3 +453,71 @@ def test_avi_selective_decode_matches_full():
 
     with pytest.raises(IndexError):
         avi.decode_avi_mjpeg(buf, frame_indices=[99])
+
+
+def test_soundfile_encode_swapin_wiring(monkeypatch):
+    """The audio encoder swap-in hook (media._soundfile) must route a plain
+    int16/default encode through the library and fall through to the
+    in-repo encoder for every shape the library cannot express (wider bit
+    depths, custom block sizes, fixed-only prediction). Runs against a
+    stub module so the wiring is testable in library-free environments;
+    the real-library parity lives in test_soundfile_encode_swapin_parity."""
+    import sys
+
+    from projcl_ray import flac, media
+
+    calls = []
+
+    class _StubSF:
+        @staticmethod
+        def write(bio, data, sr, format=None, subtype=None):
+            calls.append((np.asarray(data).dtype, sr, format, subtype))
+            bio.write(b"STUB-" + format.encode())
+
+    monkeypatch.setattr(media, "_SF_MOD", _StubSF)
+    monkeypatch.delenv("PROJCL_PURE_CODECS", raising=False)
+    x = (np.sin(np.arange(2000) / 7.0) * 12000).astype(np.int16)
+
+    assert flac.encode_flac(x, 8000) == b"STUB-FLAC"
+    assert calls[-1] == (np.dtype(np.int16), 8000, "FLAC", "PCM_16")
+    assert media.encode_wav_ima_adpcm(x, 8000) == b"STUB-WAV"
+    assert calls[-1][2:] == ("WAV", "IMA_ADPCM")
+
+    # non-default shapes keep the in-repo range-checked encoder
+    buf = flac.encode_flac(x.astype(np.int32), 8000, bps=24)
+    assert buf.startswith(b"fLaC")
+    out, sr, bps = flac.decode_flac(buf)
+    np.testing.assert_array_equal(out[:, 0], x.astype(np.int32))
+
+    # PROJCL_PURE_CODECS disables the hook entirely
+    monkeypatch.setenv("PROJCL_PURE_CODECS", "1")
+    assert flac.encode_flac(x, 8000).startswith(b"fLaC")
+
+
+def test_soundfile_encode_swapin_parity():
+    """Real-library parity (skipped unless soundfile/libsndfile is
+    importable): FLAC is lossless, so the swapped-in encode must decode —
+    via the IN-REPO decoder — back to the exact input; IMA ADPCM is lossy
+    but must still track a band-limited signal at high SNR."""
+    import pytest
+
+    pytest.importorskip("soundfile")
+    from projcl_ray import flac, media
+
+    assert media._soundfile() is not None
+    t = np.arange(16000) / 16000.0
+    x = np.clip(0.5 * np.sin(2 * np.pi * 440 * t) * 32767,
+                -32768, 32767).astype(np.int16)
+
+    buf = flac.encode_flac(x, 16000)
+    out, sr, bps = flac.decode_flac(buf)
+    assert (sr, bps) == (16000, 16)
+    np.testing.assert_array_equal(out[:, 0], x.astype(np.int32))
+
+    wav = media.encode_wav_ima_adpcm(x, 16000)
+    y, sr2 = media.decode_wav(wav)
+    ref = x.astype(np.float32) / 32768.0
+    y = y[: len(ref)]
+    snr = 10 * np.log10((ref[: len(y)] ** 2).mean()
+                        / ((y - ref[: len(y)]) ** 2).mean())
+    assert sr2 == 16000 and snr > 20.0

@@ -1103,3 +1103,84 @@ def test_tiff_tiled_and_predictor_roundtrip():
     plain = len(tiff.encode_tiff(img))
     pred = len(tiff.encode_tiff(img, predictor=2))
     assert pred < plain
+
+
+def test_pil_encode_swapin_wiring(monkeypatch):
+    """The image encoder swap-in (images._pil_encode) must engage ONLY for
+    PIL-expressible calls — png with no kwargs, jpeg with quality/subsample,
+    gif with no kwargs over opaque ≤256-color pixels — and fall through to
+    the in-repo codecs otherwise. Stub-module wiring test (runs without
+    PIL); real-library parity in test_pil_encode_swapin_parity."""
+    from projcl_ray import images as I
+    from projcl_ray.images import encode_image, synth_pixels
+
+    calls = []
+
+    class _StubIm:
+        def __init__(self, fmt_tag):
+            self.fmt_tag = fmt_tag
+
+        def putpalette(self, pal):
+            calls.append(("putpalette", len(pal)))
+
+        def save(self, bio, fmt, **kw):
+            calls.append(("save", fmt, kw))
+            bio.write(b"STUB-" + fmt.encode())
+
+    class _StubPIL:
+        @staticmethod
+        def fromarray(arr, mode):
+            calls.append(("fromarray", mode, arr.shape, arr.dtype.str))
+            return _StubIm(mode)
+
+    monkeypatch.setattr(I, "_PIL_IMAGE", _StubPIL)
+    monkeypatch.delenv("PROJCL_PURE_CODECS", raising=False)
+    img = synth_pixels(3, 24, 16)
+
+    assert encode_image(img, "png") == b"STUB-PNG"
+    assert encode_image(img, "jpeg", quality=92, subsample=True) == b"STUB-JPEG"
+    assert calls[-1] == ("save", "JPEG", {"quality": 92, "subsampling": 2})
+    quant = ((img >> 6) << 6).astype(np.uint8)
+    quant[..., 3] = 255
+    assert encode_image(quant, "gif") == b"STUB-GIF"
+
+    # non-expressible options fall through to the in-repo codecs
+    assert encode_image(img, "png", filter_type=4).startswith(b"\x89PNG")
+    assert encode_image(quant, "gif", interlace=True).startswith(b"GIF89a")
+    from projcl_ray import bmp as _bmp  # bmp has no PIL hook at all
+    assert encode_image(img, "bmp")[:2] == b"BM"
+
+    # PROJCL_PURE_CODECS disables the hook entirely
+    monkeypatch.setenv("PROJCL_PURE_CODECS", "1")
+    assert encode_image(img, "png").startswith(b"\x89PNG")
+
+
+def test_pil_encode_swapin_parity():
+    """Real-library parity (skipped unless PIL importable): PIL-encoded
+    png/gif must decode — via the IN-REPO decoders — to the exact source
+    pixels (the gif path builds its palette exactly in numpy, so PIL only
+    runs the LZW compressor); jpeg is lossy, so PSNR-bounded."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    from projcl_ray import gif as G
+    from projcl_ray import jpeg as J
+    from projcl_ray import png as P
+    from projcl_ray.images import _pil_encode, synth_pixels
+
+    img = synth_pixels(11, 40, 28)
+    buf = _pil_encode(img, "png", {})
+    assert buf is not None
+    np.testing.assert_array_equal(P.decode_png(buf), img)
+
+    quant = ((img >> 5) << 5).astype(np.uint8)
+    quant[..., 3] = 255
+    buf = _pil_encode(quant, "gif", {})
+    assert buf is not None
+    np.testing.assert_array_equal(G.decode_gif(buf)[..., :3], quant[..., :3])
+
+    buf = _pil_encode(img, "jpeg", {"quality": 95})
+    assert buf is not None
+    out = J.decode_jpeg(buf).astype(np.float64)
+    mse = np.mean((out[..., :3] - img[..., :3].astype(np.float64)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 30.0
