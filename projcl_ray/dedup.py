@@ -661,18 +661,22 @@ def jaccard_ngrams(text_a: str, text_b: str, k: int = 5) -> float:
 _SHIFTS64 = np.arange(64, dtype=np.uint64)
 
 
-def _simhash_batch(texts: list[str]) -> np.ndarray:
+def _simhash_batch(texts: list[str], hash_impl: str | None = None) -> np.ndarray:
     """Vectorized SimHash for many documents: ONE flat token-hash array for
     the whole batch, bit votes summed per-document with ``np.add.reduceat`` —
-    no per-token Python in the vote loop. Default token hash = DuckDB
-    md5_number_upper(tok) (md5 per *unique* token via the shared cache), so
-    the operator has an exact SQL oracle; PROJCL_TOKEN_HASH=fast swaps in
-    the fully-vectorized production hash (text.fast_token_hashes)."""
-    from .text import token_hashes
+    no per-token Python in the vote loop. Default token hash = the
+    vectorized production one (text.fast_token_hashes);
+    ``hash_impl="md5"`` reproduces DuckDB md5_number_upper(tok) exactly and
+    is what the dedup_simhash* oracle queries request."""
+    from .text import TOKEN_HASH_IMPL, flat_ws_token_hashes, token_hashes
 
-    toks = [t.split() for t in texts]
-    lens = np.array([len(t) for t in toks], np.int64)
-    flat = token_hashes([w for ts in toks for w in ts])
+    if (hash_impl or TOKEN_HASH_IMPL) == "md5":
+        toks = [t.split() for t in texts]
+        lens = np.array([len(t) for t in toks], np.int64)
+        flat = token_hashes([w for ts in toks for w in ts], "md5")
+    else:  # flat-buffer path: no per-token Python at all
+        flat, doc_offsets = flat_ws_token_hashes(texts)
+        lens = np.diff(doc_offsets)
     acc = np.zeros((len(texts), 64), np.int64)
     if flat.size:
         votes = 2 * ((flat[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64) - 1
@@ -683,9 +687,9 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
     return val.view(np.int64)  # two's-complement reinterpret
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5-based token hashes)."""
-    return int(_simhash_batch([text])[0])
+def simhash64(text: str, hash_impl: str | None = None) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    return int(_simhash_batch([text], hash_impl)[0])
 
 
 def hamming64(a: int, b: int) -> int:
@@ -708,6 +712,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int | None = None,
+    hash_impl: str | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT (100% recall) via pigeonhole banding: the 64 bits split into
@@ -727,7 +732,8 @@ def simhash_neardup_pairs(
         n_parts = _adaptive_parts(ds.count() * bands)
     pp_parts = max(64, n_parts // 4)
 
-    hashed = add_simhash(ds.select_columns([id_col, text_col]), text_col)
+    hashed = add_simhash(ds.select_columns([id_col, text_col]), text_col,
+                         hash_impl=hash_impl)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -796,10 +802,12 @@ def simhash_neardup_pairs(
 
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
-                out: str = "simhash") -> ray.data.Dataset:
+                out: str = "simhash",
+                hash_impl: str | None = None) -> ray.data.Dataset:
     def _s(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            out, pa.array(_simhash_batch(batch[text_col].to_pylist()), pa.int64())
+            out, pa.array(_simhash_batch(batch[text_col].to_pylist(),
+                                         hash_impl), pa.int64())
         )
 
     return ds.map_batches(_s, batch_format="pyarrow")

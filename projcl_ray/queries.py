@@ -1008,7 +1008,8 @@ FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
 )
 def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return text.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+    return text.add_fingerprint(ds, hash_impl="md5").select_columns(
+        ["doc_id", "fingerprint"])
 
 
 def _simhash_cte(where: str = "") -> str:
@@ -1033,7 +1034,8 @@ sim AS (SELECT d.doc_id, {_I64_FLIP} AS simhash
 @q("dedup_simhash", f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim")
 def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.add_simhash(ds).select_columns(["doc_id", "simhash"])
+    return dedup.add_simhash(ds, hash_impl="md5").select_columns(
+        ["doc_id", "simhash"])
 
 
 @q(
@@ -1052,7 +1054,8 @@ def q_simhash_neardups(sf_dir: str):
     Scope doc_id < 1000 keeps the O(n²) oracle tractable at any sf."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.filter(expr="doc_id < 1000")
-    out = dedup.simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+    out = dedup.simhash_neardup_pairs(ds, max_hamming=3,
+                                      hash_impl="md5").to_pandas()
     out["hamming"] = out["hamming"].astype(np.int64)
     return out[["id_a", "id_b", "hamming"]]
 

