@@ -1129,13 +1129,18 @@ def q_ann_topk(sf_dir: str):
 
 @q("ann_ivf_topk")  # approximate — rows-only
 def q_ann_ivf(sf_dir: str):
+    """IVF top-k with corpus-trained centroids: deterministic seed-sample
+    k-means (train_centroids) followed by two distributed refinement
+    rounds over the full corpus (refine_centroids — assign partials via
+    map_batches, groupby-merge; vectors never shuffle). Recall vs brute is
+    pinned unchanged-or-better in pytest (test_refine_centroids_recall)."""
     import pyarrow.parquet as pq
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().head(5)
     q_ids = head["vec_id"].to_numpy()
     q_mat = np.stack(head["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cents = ann.train_centroids(ds, 8, seed=0)
+    cents = ann.refine_centroids(ds, ann.train_centroids(ds, 8, seed=0), rounds=2)
     return ann.ivf_topk(ds, q_ids, q_mat, k=5, centroids=cents, nprobe=4)
 
 

@@ -465,3 +465,35 @@ def test_flat_ws_token_hashes_matches_pertoken_fast():
             exp_votes = text.fast_token_hashes(t.split())
             assert isinstance(int(s_doc), int)
     assert (text.fingerprint_batch(texts) == text.fingerprint_batch(texts)).all()
+
+
+def test_refine_centroids_recall(ray_session, sf_dir):
+    """Distributed corpus-wide centroid refinement (ann.refine_centroids):
+    deterministic (same result twice), driver state bounded at
+    n_centroids x d, and IVF recall@5 vs brute is unchanged-or-better
+    relative to the seed-sample centroids at the query's nprobe."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    q_ids = pdf["vec_id"].to_numpy()[:5]
+    q = mat[:5]
+    seed_c = ann.train_centroids(ds, 8, seed=0)
+    ref_c = ann.refine_centroids(ds, seed_c, rounds=2)
+    assert ref_c.shape == seed_c.shape  # the only driver-side matrix
+    np.testing.assert_allclose(
+        ref_c, ann.refine_centroids(ds, seed_c, rounds=2), atol=0)  # deterministic
+    exact = ann.ann_brute_topk(ds, q_ids, q, k=5, concurrency=1).to_pandas()
+
+    def recall(c, nprobe):
+        a = ann.ivf_topk(ds, q_ids, q, k=5, centroids=c, nprobe=nprobe).to_pandas()
+        tot = 0.0
+        for qid in q_ids:
+            hits = set(a[a["query_id"] == qid]["vec_id"])
+            want = set(exact[exact["query_id"] == qid]["vec_id"])
+            tot += len(hits & want) / len(want)
+        return tot / len(q_ids)
+
+    assert recall(ref_c, 4) >= recall(seed_c, 4)  # unchanged-or-better
+    assert recall(ref_c, 2) >= 0.6  # still useful at tighter probes
