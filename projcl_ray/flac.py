@@ -679,8 +679,9 @@ _RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
 _SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
-    """FLAC bytes → (samples (n, channels) int32, sample_rate, bps)."""
+def flac_stream_info(buf: bytes) -> tuple[int, int, int, int, int]:
+    """Parse the metadata blocks: (first_frame_byte_offset, sample_rate,
+    channels, bps, total_samples)."""
     if buf[:4] != _MAGIC:
         raise ValueError("not a FLAC stream (bad magic)")
     pos = 4
@@ -702,9 +703,29 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
     ch = ((info[12] >> 1) & 0x7) + 1
     bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
     total = ((info[13] & 0x0F) << 32) | struct.unpack(">I", info[14:18])[0]
+    return pos, sr, ch, bps, total
 
+
+def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """FLAC bytes → (samples (n, channels) int32, sample_rate, bps)."""
+    pos, sr, ch, bps, total = flac_stream_info(buf)
+    frames = list(iter_flac_frames(buf))
+    out = (np.concatenate(frames, axis=0) if frames
+           else np.zeros((0, ch), np.int64))
+    return out.astype(np.int32), sr, bps
+
+
+def iter_flac_frames(buf: bytes):
+    """Yield each FLAC frame as an (block_size, channels) int64 array, in
+    stream order, truncated so the concatenation is exactly the stream's
+    ``total_samples`` — RFC 9639 frames decode independently given
+    STREAMINFO, which makes this the natural block-streaming unit
+    (VERDICT r4 #5): features over a multi-hour clip hold one frame in
+    memory at a time instead of the whole decode.
+    ``decode_flac(buf)[0] == np.concatenate(list(iter_flac_frames(buf)))``
+    bit-exactly."""
+    pos, sr, ch, bps, total = flac_stream_info(buf)
     r = _BitReader(buf[pos:])
-    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
     got = 0
     nbits = r.nbits
     while (total == 0 or got < total) and r.pos + 48 <= nbits:
@@ -766,15 +787,12 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
             mid, side = subs
             m2 = (mid << 1) | (side & 1)
             subs = [(m2 + side) >> 1, (m2 - side) >> 1]
-        for c in range(ch):
-            chans[c].append(subs[c])
+        frame = np.stack(subs, axis=1)
+        if total and got + bs > total:  # encoder padding in the tail frame
+            frame = frame[: total - got]
         got += bs
-
-    out = np.stack([np.concatenate(c) if c else np.zeros(0, np.int64)
-                    for c in chans], axis=1)
-    if total:
-        out = out[:total]
-    return out.astype(np.int32), sr, bps
+        if len(frame):
+            yield frame
 
 
 def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:

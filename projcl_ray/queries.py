@@ -1783,7 +1783,9 @@ def q_flac(sf_dir: str):
     clips as media_wav_features, compressed by the in-repo pure-Python FLAC
     codec (projcl_ray/flac.py — FIXED/LPC predictors, Rice residuals) and
     decoded back losslessly, so the feature rows are bit-identical to the
-    WAV query's (pinned in tests/test_mosaic_media.py)."""
+    WAV query's (pinned in tests/test_mosaic_media.py). Runs the
+    BLOCK-STREAMED decode path (chunk_samples: one FLAC frame in memory
+    at a time — the long-clip shape; features are chunking-invariant)."""
     import pyarrow as pa
 
     from .flac import encode_flac
@@ -1794,7 +1796,8 @@ def q_flac(sf_dir: str):
         pcm = np.frombuffer(r["bytes"], "<i2")
         r["bytes"] = encode_flac(pcm, r["sample_rate"])
         r["fmt"] = "flac"
-    return audio_features(rd.from_arrow(pa.Table.from_pylist(rows)))
+    return audio_features(rd.from_arrow(pa.Table.from_pylist(rows)),
+                          chunk_samples=4096)
 
 
 @q("media_video_frame_sample")  # rows-only

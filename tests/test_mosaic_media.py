@@ -521,3 +521,69 @@ def test_soundfile_encode_swapin_parity():
     snr = 10 * np.log10((ref[: len(y)] ** 2).mean()
                         / ((y - ref[: len(y)]) ** 2).mean())
     assert sr2 == 16000 and snr > 20.0
+
+
+def test_stream_audio_bitexact_and_features(ray_session):
+    """Block-streamed decode (media.stream_audio): for every container
+    (pcm16, wav PCM/G.711/IMA-ADPCM mono+stereo, FLAC mono+stereo) and
+    several chunk sizes, the concatenated chunks equal the whole-clip
+    decode BIT-EXACTLY, and features_from_chunks is chunking-invariant on
+    the corpus (VERDICT r4 #5 'identical feature output'). Also pins the
+    audio_features stage: chunked == whole rows."""
+    from projcl_ray import media
+    from projcl_ray.flac import encode_flac
+
+    rows = media.synth_audio_table(4).to_pylist()
+    variants = []
+    for r in rows:
+        pcm = np.frombuffer(r["bytes"], "<i2")
+        st = np.stack([pcm, (pcm // 2).astype(np.int16)], axis=1)
+        variants += [
+            (r["bytes"], "pcm16"),
+            (media.encode_wav(pcm, 16000), "wav"),
+            (media.encode_wav(pcm, 16000, codec="ulaw"), "wav"),
+            (media.encode_wav_ima_adpcm(pcm, 16000), "wav"),
+            (encode_flac(pcm, 16000), "flac"),
+            (media.encode_wav(st, 16000), "wav"),
+            (encode_flac(st, 16000), "flac"),
+        ]
+    for chunk in (257, 1000, 4096):
+        for buf, fmt in variants:
+            whole = media.decode_audio(buf, fmt)
+            cat = np.concatenate(list(media.stream_audio(buf, fmt, chunk)))
+            np.testing.assert_array_equal(cat, whole)
+            assert (media.features_from_chunks([whole])
+                    == media.features_from_chunks(media.stream_audio(buf, fmt, chunk)))
+
+    import ray.data as rd
+    tbl = media.synth_audio_table(6)
+    a = media.audio_features(rd.from_arrow(tbl)).to_pandas().sort_values("clip_id")
+    b = media.audio_features(rd.from_arrow(tbl), chunk_samples=999
+                             ).to_pandas().sort_values("clip_id")
+    for col in ("rms", "peak", "zcr", "duration_s"):
+        np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy())
+
+
+def test_stream_audio_long_clip_memory():
+    """A long clip streams in bounded memory: features over a 16M-sample
+    WAV (32 MB payload; whole-clip decode would allocate ≥64 MB of float32
+    plus temporaries) peak below 12 MB of allocations when streamed with
+    256k-sample chunks, and match the whole-clip features exactly."""
+    import tracemalloc
+
+    from projcl_ray import media
+
+    n = 16_000_000
+    t = np.arange(n, dtype=np.float64)
+    pcm = (12000 * np.sin(2 * np.pi * 440 * t / 48000)).astype("<i2")
+    buf = media.encode_wav(pcm, 48000)
+    del t, pcm
+    whole = media.features_from_chunks([media.decode_audio(buf, "wav")])
+
+    tracemalloc.start()
+    streamed = media.features_from_chunks(
+        media.stream_audio(buf, "wav", chunk_samples=1 << 18))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert streamed == whole
+    assert peak < 12 * 1024 * 1024, f"streamed peak {peak / 1e6:.1f} MB"
