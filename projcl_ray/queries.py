@@ -1800,6 +1800,21 @@ def q_flac(sf_dir: str):
                           chunk_samples=4096)
 
 
+@q("media_mp3_frame_scan")  # binary container parse — rows-only; exact pytest
+def q_mp3_scan(sf_dir: str):
+    """MPEG audio catalog scan: per-clip frame-accurate container metadata
+    (frame count, duration, CBR/VBR bitrate stats, channel mode) over a
+    mixed mp3 corpus — the ingest pass a scraped-audio catalog runs before
+    deciding what to decode. The frame walk (projcl_ray/mp3.py) never
+    reads payload bytes, so it is exact for any real-world mp3; values are
+    pinned against hand-computed expectations in pytest
+    (test_mp3_frame_parser_exact). Sample decode dispatches to the
+    library swap-in hook (see media.decode_audio)."""
+    from .media import mp3_frame_scan, synth_mp3_table
+
+    return mp3_frame_scan(rd.from_arrow(synth_mp3_table(32)))
+
+
 @q("media_video_frame_sample")  # rows-only
 def q_video(sf_dir: str):
     from .media import sample_video_frames, synth_video_table
