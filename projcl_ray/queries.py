@@ -2325,42 +2325,89 @@ def q_ann_neardup_components(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Driver-sampling rotation: the correctness driver gates the FIRST 50 queries
-# only. Round 3 sampled the 50 below (CORRECTNESS_r03.json), so rotate again:
-# everything the round-3 driver did NOT sample — all projection forwards and
-# round-trips, the vincenty/karney oracles, the text suite, the dedup suite,
-# cell/salted counts (whose merge strategy changed this round) — plus the
-# round-4 additions comes first; the round-3-sampled 50 fill the tail, which
-# still places ~13 of them (several warp/media rows-only entries among them)
-# inside the new first 50. Every query keeps its oracle; only dict insertion
-# order changes.
+# only. Round-5 priority: (a) the 9 queries whose correctness evidence is NEW
+# this round — the 7 warp/ingest queries converted from rows-only to DuckDB
+# tile-layout oracles, ann_ivf_topk (now corpus-refined centroids) and the
+# new media_mp3_frame_scan; then (b) the 44 queries the round-4 driver did
+# not sample (the VERDICT r4 #7 ask), minus three rows-only demos deferred
+# to the tail to fit 50 (media_video_frame_sample, flagship_partitioned_
+# resume, warp_tile_pyramid — value-unchecked under the driver either way).
+# The tail holds those three, the four low-risk round-5-touched queries that
+# were re-gated locally (md5-pinned simhash/fingerprint trio +
+# media_flac_features), and the rest of the round-4 sample. Every query
+# keeps its oracle; only dict insertion order changes.
 # ---------------------------------------------------------------------------
 
-_SAMPLED_R03 = [
-    "forward_geodesic_karney", "events_hourly_window",
-    "filter_high_value_orders", "warp_tile_pipeline", "png_ingest_warp_tile",
-    "jpeg_ingest_warp_tile", "flagship_cells", "warp_tile_pyramid",
-    "forward_geodesic_fixed_angle", "dedup_components", "dedup_phash_images",
-    "warp_tiled_mosaic", "media_audio_features", "media_wav_features",
-    "media_video_frame_sample", "project_albers_ell_fwd",
-    "project_lcc_ell_fwd", "window_tumbling_15m", "window_sliding_30m_hop15m",
-    "window_sessions", "pip_join_large_boxes", "ann_cosine_neardup_lsh",
-    "events_json_extract", "range_join_price_bands",
-    "asof_join_purchase_click", "hll_distinct_custkeys",
-    "quantiles_extendedprice", "flagship_partitioned_resume",
-    "anti_join_customers_no_450k_order", "semi_join_customers_with_orders",
-    "deterministic_sample_10pct", "stratified_sample_by_priority",
-    "group_quantiles_price_by_priority", "warp_projected_source",
-    "ann_neardup_components", "project_mercator_sphere_fwd",
-    "project_mercator_ell_fwd", "project_tmerc_sphere_fwd",
-    "project_lcc_sphere_fwd", "project_albers_sphere_fwd",
-    "project_laea_sphere_fwd", "project_winkel_fwd",
-    "project_polyconic_sphere_fwd", "project_stereographic_fwd",
-    "project_robinson_fwd", "project_tmerc_sphere_roundtrip",
-    "project_mercator_ell_roundtrip", "project_lcc_ell_roundtrip",
-    "project_albers_ell_roundtrip", "project_laea_ell_roundtrip",
+_R5_PRIORITY = [
+    "warp_tile_pipeline", "geotiff_ingest_warp_tile",
+    "geotiff_dem_ingest_warp_tile", "gif_bmp_ingest_warp_tile",
+    "png_ingest_warp_tile", "jpeg_ingest_warp_tile",
+    "jpeg_progressive_ingest_warp_tile", "ann_ivf_topk",
+    "media_mp3_frame_scan",
+]
+_R5_DEFER = [
+    "media_video_frame_sample", "flagship_partitioned_resume",
+    "warp_tile_pyramid", "dedup_simhash", "dedup_simhash_neardups",
+    "text_fingerprint", "media_flac_features",
+]
+_SAMPLED_R04 = [
+    "project_polyconic_ell_roundtrip",
+    "project_winkel_roundtrip",
+    "project_robinson_roundtrip",
+    "project_stereographic_roundtrip",
+    "datum_shift_wgs84_nad27",
+    "geodesic_haversine_pairs",
+    "geodesic_distance_matrix",
+    "forward_geodesic_sphere",
+    "forward_geodesic_vincenty",
+    "vincenty_inverse_matrix",
+    "cell_assign_counts",
+    "salted_cell_counts",
+    "pip_join_boxes",
+    "geofence_customers_near_suppliers",
+    "rasterize_density_tiles",
+    "polygon_area_nation_boxes",
+    "knn_customers_suppliers",
+    "knn_join_large_customers_suppliers",
+    "dedup_exact",
+    "text_token_count",
+    "text_token_count_bpe",
+    "text_quality_scores",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_simhash_neardups",
+    "dedup_minhash_lsh",
+    "dedup_verified_neardups",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_cosine_neardup",
+    "agg_lineitem_pricing",
+    "join_orders_per_nation",
+    "sort_top_orders",
+    "topk_orders_per_priority",
+    "geotiff_export_resume",
+    "geotiff_ingest_warp_tile",
+    "geotiff_dem_ingest_warp_tile",
+    "zonal_stats_dem",
+    "dem_terrain_features",
+    "gif_bmp_ingest_warp_tile",
+    "jpeg_progressive_ingest_warp_tile",
+    "media_flac_features",
+    "media_mjpeg_frame_sample",
+    "forward_geodesic_karney",
+    "events_hourly_window",
+    "filter_high_value_orders",
+    "warp_tile_pipeline",
+    "png_ingest_warp_tile",
+    "jpeg_ingest_warp_tile"
 ]
 
-_rotated = {k: QUERIES[k] for k in QUERIES if k not in _SAMPLED_R03}
-_rotated.update({k: QUERIES[k] for k in _SAMPLED_R03 if k in QUERIES})
+_head = list(_R5_PRIORITY)
+_head += [k for k in QUERIES
+          if k not in _SAMPLED_R04 and k not in _head and k not in _R5_DEFER]
+_tail = _R5_DEFER + [k for k in QUERIES if k not in _head and k not in _R5_DEFER]
+_rotated = {k: QUERIES[k] for k in _head + _tail if k in QUERIES}
+assert len(_rotated) == len(QUERIES)
 QUERIES.clear()
 QUERIES.update(_rotated)
