@@ -1184,3 +1184,55 @@ def test_pil_encode_swapin_parity():
     out = J.decode_jpeg(buf).astype(np.float64)
     mse = np.mean((out[..., :3] - img[..., :3].astype(np.float64)) ** 2)
     assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 30.0
+
+
+def test_jpeg_12bit_roundtrip_and_parity():
+    """12-bit JPEG (T.81 extended sequential, SOF1): uint16 encode/decode
+    round-trips at high PSNR on smooth DEM-like data, emits 16-bit DQT +
+    image-optimal Huffman tables (Annex-K examples stop below 12-bit
+    magnitude categories), honors restarts bit-identically, rejects
+    out-of-range samples and progressive 12-bit, leaves the 8-bit path
+    untouched — and the C fastcodec twins stay BYTE-exact on encode and
+    BIT-exact on decode for the 12-bit form too."""
+    import os
+
+    from projcl_ray import fastcodec
+    from projcl_ray import jpeg as J
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:45, 0:61]
+    dem = (1000 + 800 * np.sin(xx / 9.0) + 600 * np.cos(yy / 7.0)
+           + rng.normal(0, 3, (45, 61))).clip(0, 4095).astype(np.uint16)
+    buf = J.encode_jpeg(dem, quality=95)
+    out = J.decode_jpeg(buf)
+    assert out.shape == dem.shape and out.dtype == np.uint16
+    mse = np.mean((out.astype(np.float64) - dem) ** 2)
+    assert 10 * np.log10(4095.0**2 / max(mse, 1e-12)) > 50.0
+
+    img12 = rng.integers(0, 4096, (30, 42, 3)).astype(np.uint16)
+    o2 = J.decode_jpeg(J.encode_jpeg(img12, quality=80))
+    assert o2.shape == (30, 42, 3) and o2.dtype == np.uint16
+    # subsampled color + restart markers decode to the same pixels
+    o3 = J.decode_jpeg(J.encode_jpeg(dem, quality=95, restart_interval=3))
+    np.testing.assert_array_equal(o3, out)
+
+    with pytest.raises(NotImplementedError):
+        J.encode_jpeg(img12, progressive=True)
+    with pytest.raises(ValueError):
+        J.encode_jpeg((img12.astype(np.uint32) * 8).astype(np.uint16))
+
+    if fastcodec.lib() is None:
+        return
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+        pure_e = J.encode_jpeg(dem, quality=95)
+        pure_d = J.decode_jpeg(buf)
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        assert J.encode_jpeg(dem, quality=95) == pure_e == buf
+        np.testing.assert_array_equal(J.decode_jpeg(buf), pure_d)
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
