@@ -292,7 +292,19 @@ def _build_palette(frames: np.ndarray) -> tuple[np.ndarray, int]:
     any_alpha = bool((frames[..., 3] < 128).any())
     rgb = frames[..., :3].reshape(-1, 3)
     opaque = rgb[frames[..., 3].reshape(-1) >= 128] if any_alpha else rgb
-    colors = np.unique(opaque.reshape(-1, 3), axis=0) if len(opaque) else np.zeros((1, 3), np.uint8)
+    if len(opaque):
+        # unique over PACKED uint32 keys, not rows: np.unique(axis=0) sorts
+        # structured rows and was ~97% of encode wall time (the r4
+        # "palette-mapping-bound" ceiling); the 1-D sort is ~50x faster and
+        # yields the same colors in the same lexicographic order
+        packed = ((opaque[:, 0].astype(np.uint32) << 16)
+                  | (opaque[:, 1].astype(np.uint32) << 8)
+                  | opaque[:, 2].astype(np.uint32))
+        upk = np.unique(packed)
+        colors = np.stack([(upk >> 16) & 0xFF, (upk >> 8) & 0xFF,
+                           upk & 0xFF], axis=1).astype(np.uint8)
+    else:
+        colors = np.zeros((1, 3), np.uint8)
     limit = 255 if any_alpha else 256
     if len(colors) > limit:
         raise ValueError(
