@@ -144,13 +144,18 @@ def _pil_encode(arr: np.ndarray, fmt: str, kw: dict) -> bytes | None:
         return bio.getvalue()
     if fmt == "gif" and not kw and bool((arr[..., 3] == 255).all()):
         flat = arr[..., :3].reshape(-1, 3)
-        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-        if len(colors) > 256:
+        packed = ((flat[:, 0].astype(np.uint32) << 16)
+                  | (flat[:, 1].astype(np.uint32) << 8)
+                  | flat[:, 2].astype(np.uint32))  # 1-D unique ≫ unique(axis=0)
+        upk, inverse = np.unique(packed, return_inverse=True)
+        if len(upk) > 256:
             return None  # in-repo encoder owns the error contract
         im = pil.fromarray(
             inverse.astype(np.uint8).reshape(arr.shape[:2]), "P")
         pal = np.zeros((256, 3), np.uint8)
-        pal[: len(colors)] = colors
+        pal[: len(upk), 0] = (upk >> 16) & 0xFF
+        pal[: len(upk), 1] = (upk >> 8) & 0xFF
+        pal[: len(upk), 2] = upk & 0xFF
         im.putpalette(pal.ravel().tolist())
         im.save(bio, "GIF")
         return bio.getvalue()
