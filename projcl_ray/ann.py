@@ -323,9 +323,14 @@ def refine_centroids(ds: ray.data.Dataset, centroids: np.ndarray, *,
         def _merge(group):
             import pandas as pd
 
+            # per-dimension ascending sort before summing makes the float64
+            # reduction independent of partial-row arrival order (shuffle
+            # order varies with parallelism; a multiset summed in sorted
+            # order is one fixed association)
+            stacked = np.sort(np.stack(group["vsum"].to_numpy()), axis=0)
             return pd.DataFrame({
                 "bucket": [group["bucket"].iloc[0]],
-                "vsum": [np.sum(np.stack(group["vsum"].to_numpy()), axis=0)],
+                "vsum": [stacked.sum(axis=0)],
                 "n": [int(group["n"].sum())],
             })
 

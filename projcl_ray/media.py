@@ -497,9 +497,11 @@ def features_from_chunks(chunks) -> tuple[float, float, float]:
     """(rms, peak, zcr) from an iterable of float32 mono chunks — the
     canonical feature math for whole-clip AND streamed decode. Peak and
     zero crossings are exactly chunking-invariant (max / boundary-aware
-    count); rms accumulates exact float64 squares of float32 samples with
-    one compensated fsum over the per-chunk partials, so any chunking of
-    the same samples produces the same features bit-for-bit."""
+    count); rms accumulates exact float64 squares of float32 samples per
+    chunk and merges the partials with one compensated fsum — in-chunk
+    pairwise association can in principle differ across chunkings at the
+    last ulp, so the pytest PINS bit-equality across chunk sizes on the
+    media corpus (168 format × chunk cases) and on the long-clip test."""
     import math
 
     partials: list[float] = []
