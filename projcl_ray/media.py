@@ -584,11 +584,11 @@ def mp3_frame_scan(ds: ray.data.Dataset, *, batch_size: int = 64) -> ray.data.Da
             cols["channels"].append(info["channels"])
             cols["mode"].append(info["mode"])
             cols["layer"].append(info["layer"])
-            cols["duration_ms"].append(int(round(info["duration_s"] * 1000)))
+            cols["duration_ms"].append(int(np.floor(info["duration_s"] * 1000 + 0.5)))
             cols["bitrate_mode"].append(info["bitrate_mode"])
             cols["min_bitrate_kbps"].append(info["min_bitrate_kbps"])
             cols["max_bitrate_kbps"].append(info["max_bitrate_kbps"])
-            cols["avg_bitrate_kbps"].append(int(round(info["avg_bitrate_kbps"])))
+            cols["avg_bitrate_kbps"].append(int(np.floor(info["avg_bitrate_kbps"] + 0.5)))
         out = batch.drop_columns(["bytes"])
         for name, vals in cols.items():
             typ = pa.string() if name in ("mode", "bitrate_mode") else pa.int64()

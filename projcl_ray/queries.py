@@ -1800,19 +1800,64 @@ def q_flac(sf_dir: str):
                           chunk_samples=4096)
 
 
-@q("media_mp3_frame_scan")  # binary container parse — rows-only; exact pytest
+def _mp3_scan_oracle_sql(n: int = 32) -> str:
+    """Independent oracle for the MPEG catalog scan: the QUERY parses the
+    synthesized container BYTES frame by frame; this SQL derives the same
+    statistics from the GENERATION PARAMETERS (media.synth_mp3_table's
+    arithmetic) — frame sizes via the spec formula 144·br/sr with the
+    cumulative-remainder padding cadence (total pads over n frames =
+    total_frac // sr, since the accumulator stays in [0, sr)). Two fully
+    independent code paths must agree on every value."""
+    return f"""
+WITH idx AS (SELECT range AS i FROM range(0, {n})),
+p AS (SELECT i,
+  CAST(20 + 3*(i % 7) AS BIGINT) AS n_frames,
+  CAST(CASE i % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 160 ELSE 192 END AS BIGINT) AS br,
+  CAST(CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS sr,
+  (i % 3 = 0) AS mono,
+  (i % 4 = 0) AS vbr
+ FROM idx),
+f AS (SELECT *,
+  n_frames * 1152 AS n_samples,
+  (n_frames + 1) // 2 AS n_hi, n_frames // 2 AS n_lo,
+  (144 * br * 1000) // sr AS base_hi, (144 * br * 1000) % sr AS frac_hi,
+  (144 * 64 * 1000) // sr AS base_lo, (144 * 64 * 1000) % sr AS frac_lo
+ FROM p),
+t AS (SELECT *,
+  CASE WHEN vbr THEN n_hi*base_hi + n_lo*base_lo ELSE n_frames*base_hi END
+    + (CASE WHEN vbr THEN n_hi*frac_hi + n_lo*frac_lo ELSE n_frames*frac_hi END) // sr
+    AS total_bytes
+ FROM f)
+SELECT printf('mp3_%06d', i) AS clip_id,
+  n_frames, n_samples, sr AS sample_rate,
+  CAST(CASE WHEN mono THEN 1 ELSE 2 END AS BIGINT) AS channels,
+  CASE WHEN mono THEN 'mono' ELSE 'stereo' END AS mode,
+  CAST(3 AS BIGINT) AS layer,
+  CAST(floor(CAST(n_samples AS DOUBLE)/sr*1000.0 + 0.5) AS BIGINT) AS duration_ms,
+  CASE WHEN vbr THEN 'vbr' ELSE 'cbr' END AS bitrate_mode,
+  CASE WHEN vbr THEN least(br, 64) ELSE br END AS min_bitrate_kbps,
+  CASE WHEN vbr THEN greatest(br, 64) ELSE br END AS max_bitrate_kbps,
+  CAST(floor(CAST(total_bytes*8 AS DOUBLE)/1000.0/(CAST(n_samples AS DOUBLE)/sr) + 0.5) AS BIGINT)
+    AS avg_bitrate_kbps
+FROM t
+"""
+
+
+@q("media_mp3_frame_scan", _mp3_scan_oracle_sql(32))
 def q_mp3_scan(sf_dir: str):
     """MPEG audio catalog scan: per-clip frame-accurate container metadata
     (frame count, duration, CBR/VBR bitrate stats, channel mode) over a
     mixed mp3 corpus — the ingest pass a scraped-audio catalog runs before
     deciding what to decode. The frame walk (projcl_ray/mp3.py) never
-    reads payload bytes, so it is exact for any real-world mp3; values are
-    pinned against hand-computed expectations in pytest
-    (test_mp3_frame_parser_exact). Sample decode dispatches to the
-    library swap-in hook (see media.decode_audio)."""
+    reads payload bytes, so it is exact for any real-world mp3. Oracle:
+    the SQL derives the same statistics from the synth GENERATION
+    parameters (spec frame-size formula + padding cadence) while the
+    query parses the bytes — two independent paths hash-compared; also
+    pinned in pytest (test_mp3_frame_parser_exact). Sample decode
+    dispatches to the library swap-in hook (see media.decode_audio)."""
     from .media import mp3_frame_scan, synth_mp3_table
 
-    return mp3_frame_scan(rd.from_arrow(synth_mp3_table(32)))
+    return mp3_frame_scan(rd.from_arrow(synth_mp3_table(32))).drop_columns(["fmt"])
 
 
 @q("media_video_frame_sample")  # rows-only

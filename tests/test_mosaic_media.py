@@ -659,7 +659,7 @@ def test_mp3_decode_contract_and_scan_query(ray_session):
     got = out.set_index("clip_id").loc[tbl["clip_id"].to_pylist()]
     assert (got["n_frames"].to_numpy() == [e["n_frames"] for e in exp]).all()
     assert (got["duration_ms"].to_numpy()
-            == [int(round(e["duration_s"] * 1000)) for e in exp]).all()
+            == [int(np.floor(e["duration_s"] * 1000 + 0.5)) for e in exp]).all()
     assert (got["bitrate_mode"].to_numpy()
             == np.array([e["bitrate_mode"] for e in exp])).all()
 
