@@ -1336,14 +1336,15 @@ def _ingest_layout(tiles: rd.Dataset) -> pd.DataFrame:
 _META_CACHE: dict[tuple, list] = {}
 
 
-def _synth_meta(n: int, seed: int) -> list[tuple]:
+def _synth_meta(n: int, seed: int, sizes: tuple | None = None) -> list[tuple]:
     """Georeference metadata of synth_images_table(n, seed) — deterministic,
     pixel-independent, inlined into the ingest oracles as a VALUES list."""
-    key = (n, seed)
+    key = (n, seed, sizes)
     if key not in _META_CACHE:
         from .images import synth_images_table
 
-        t = synth_images_table(n, seed=seed)
+        kw = {"sizes": sizes} if sizes is not None else {}
+        t = synth_images_table(n, seed=seed, **kw)
         _META_CACHE[key] = list(zip(
             t["image_id"].to_pylist(), t["w"].to_pylist(), t["h"].to_pylist(),
             t["lon0"].to_pylist(), t["lat0"].to_pylist(),
@@ -1639,15 +1640,43 @@ def q_flagship(sf_dir: str):
     return flagship(n_images=32, concurrency=2)
 
 
-@q("warp_tile_pyramid")  # pixel op — level-1 bit-exactness gated in pytest
+def _pyramid_oracle_sql(n: int, seed: int, sizes: tuple, tile: int,
+                        levels: int) -> str:
+    """Pyramid LAYOUT oracle: per (level, image) tile counts follow pure
+    ceil arithmetic — level 0 = ceil(w/t)·ceil(h/t), each level up halves
+    each axis (children fill the full grid, so parents = ceil/2 per axis).
+    ``levels`` here counts EMITTED levels (build_tile_pyramid(levels=k)
+    emits k+1 including the input). Pixel content stays pinned by the
+    level-1 bit-exactness pytest."""
+    meta = _synth_meta(n, seed, sizes)
+    rows = ",\n  ".join(f"('{iid}', {w}, {h})" for iid, w, h, *_ in meta)
+    parts = []
+    ta, td = f"CAST(ceil(w/{float(tile)!r}) AS BIGINT)", \
+             f"CAST(ceil(h/{float(tile)!r}) AS BIGINT)"
+    for lv in range(levels):
+        for _ in range(lv):
+            ta, td = f"(({ta})+1)//2", f"(({td})+1)//2"
+        parts.append(f"SELECT CAST({lv} AS BIGINT) AS level, image_id,"
+                     f" ({ta})*({td}) AS n_tiles FROM imgs")
+        ta, td = f"CAST(ceil(w/{float(tile)!r}) AS BIGINT)", \
+                 f"CAST(ceil(h/{float(tile)!r}) AS BIGINT)"
+    return (f"WITH imgs(image_id, w, h) AS (VALUES\n  {rows})\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+@q("warp_tile_pyramid", _pyramid_oracle_sql(16, 42, (128,), 32, 3))
 def q_tile_pyramid(sf_dir: str):
+    """Tile pyramid layout, oracle-checked per (level, image): counts are
+    ceil-arithmetic from the synth sizes (two independent paths — the Ray
+    side actually builds and downsamples the tiles); level-1 pixel content
+    is bit-exactness-gated in pytest."""
     from .images import synth_images_table
 
     ds = rd.from_arrow(synth_images_table(16, seed=42, sizes=(128,)))
     tiles = ops.warp_and_tile(ds, "mercator", ProjParams(spheroid="WGS_84"),
                               tile_size=32, batch_size=8)
     pyr = ops.build_tile_pyramid(tiles, levels=2)
-    return pyr.groupby("level").aggregate(Count(alias_name="n_tiles"))
+    return pyr.groupby(["level", "image_id"]).aggregate(Count(alias_name="n_tiles"))
 
 
 # ---------------------------------------------------------------------------
