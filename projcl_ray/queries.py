@@ -1749,7 +1749,22 @@ def q_dedup_components(sf_dir: str):
     return out.select_columns(["doc_id", "component_id"])
 
 
-@q("dedup_phash_images")  # phash computed by our codec — rows-only
+def _phash_dedup_oracle_sql(n: int = 256, seed: int = 42) -> str:
+    """The phash column is carried BY the corpus (computed once at synth
+    time), so the dedup itself — keep the lexicographically-first image id
+    per phash — is plain SQL over the inlined (image_id, phash) pairs.
+    The hash values' own correctness is pinned by the codec pytests."""
+    from .images import synth_images_table
+
+    t = synth_images_table(n, seed=seed)
+    rows = ",\n  ".join(
+        f"('{i}', {p})" for i, p in zip(t["image_id"].to_pylist(),
+                                        t["phash"].to_pylist()))
+    return (f"WITH imgs(image_id, phash) AS (VALUES\n  {rows})\n"
+            "SELECT MIN(image_id) AS image_id, phash FROM imgs GROUP BY phash")
+
+
+@q("dedup_phash_images", _phash_dedup_oracle_sql())
 def q_phash_dedup(sf_dir: str):
     from .images import synth_images_table
 
