@@ -167,3 +167,41 @@ def test_tiff_huge_tag_count_raises_valueerror_fast():
     buf[ifd_off:ifd_off + 2] = (0xFFFF).to_bytes(2, "little")
     with pytest.raises(ValueError, match="corrupt TIFF"):
         tiff.decode_tiff(bytes(buf))
+
+
+@given(st.binary(min_size=0, max_size=4096), st.integers(0, 2**31 - 1))
+@settings(max_examples=120, deadline=None)
+def test_mp3_parser_never_crashes_property(blob, seed):
+    """Corrupt-input contract for the MPEG frame walk: arbitrary bytes
+    either raise the documented ValueError or parse into frames whose
+    offsets/sizes are in-bounds, non-overlapping and spec-consistent —
+    never an IndexError/struct.error/hang. Also: a valid stream buried
+    after the garbage is still found (resync), and truncating the final
+    frame drops exactly that frame."""
+    from projcl_ray import mp3
+
+    try:
+        frames = mp3.parse_mp3_frames(blob)
+    except ValueError:
+        frames = None
+    if frames is not None:
+        pos = 0
+        for f in frames:
+            assert f.offset >= pos
+            assert f.size > 4
+            assert f.offset + f.size <= len(blob)
+            assert f.layer in (1, 2, 3) and f.channels in (1, 2)
+            pos = f.offset + f.size
+
+    good = mp3.synth_mp3_bytes(4, bitrate_kbps=128, seed=seed % 97)
+    # resync over a sync-free fuzz prefix finds all 4 frames (0xFF is
+    # masked out: a random prefix may otherwise contain a valid-LOOKING
+    # bogus header whose declared length swallows a real frame — correct
+    # resync behavior, but not what this assertion pins)
+    prefix = bytes(b & 0x7F for b in blob[:512])
+    found = mp3.parse_mp3_frames(prefix + good)
+    assert len([f for f in found if f.size in (417, 418)]) >= 4
+
+    # truncation drops only the cut tail frame
+    cut = mp3.parse_mp3_frames(good[:-3])
+    assert len(cut) == 3
