@@ -69,42 +69,53 @@ def _samples_per_frame(version_group: str, layer: int) -> int:
     return 1152 if version_group == "1" else 576  # Layer III
 
 
-def parse_frame_header(buf: bytes, off: int) -> Mp3Frame | None:
-    """Decode the 4 header bytes at ``off``; None if not a valid frame
-    header (bad sync / reserved fields / free-format)."""
+def _header_fields(buf: bytes, off: int):
+    """Tuple-core header decode: (size, samples, bitrate_kbps, sr,
+    ver_bits, layer, padding, protection, mode_bits) or None — shared by
+    the object-building parse and the stats walk (one decoder, no
+    divergence)."""
     if off + 4 > len(buf):
         return None
-    b0, b1, b2, b3 = buf[off], buf[off + 1], buf[off + 2], buf[off + 3]
-    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+    b1 = buf[off + 1]
+    if buf[off] != 0xFF or (b1 & 0xE0) != 0xE0:
         return None
     ver_bits = (b1 >> 3) & 0x3
     layer_bits = (b1 >> 1) & 0x3
     if ver_bits == 1 or layer_bits == 0:
         return None  # reserved
-    version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+    b2 = buf[off + 2]
+    b3 = buf[off + 3]
     vgroup = "1" if ver_bits == 3 else "2"
     layer = _LAYER[layer_bits]
-    protection = b1 & 1  # 0 => 16-bit CRC follows the header
     br_idx = (b2 >> 4) & 0xF
     sr_idx = (b2 >> 2) & 0x3
-    padding = bool((b2 >> 1) & 1)
-    mode_bits = (b3 >> 6) & 0x3
     if br_idx == 0 or br_idx == 15 or sr_idx == 3 or (b3 & 0x3) == 2:
         return None  # free-format / invalid bitrate / bad rate / bad emphasis
+    padding = (b2 >> 1) & 1
     bitrate = _BITRATES[(vgroup, layer)][br_idx - 1] * 1000
     sr = _SAMPLE_RATES[ver_bits][sr_idx]
+    spf = _samples_per_frame(vgroup, layer)
     if layer == 1:
-        size = (12 * bitrate // sr + (1 if padding else 0)) * 4
+        size = (12 * bitrate // sr + padding) * 4
     else:
-        spf = _samples_per_frame(vgroup, layer)
-        size = spf // 8 * bitrate // sr + (1 if padding else 0)
+        size = spf // 8 * bitrate // sr + padding
+    return (size, spf, bitrate // 1000, sr, ver_bits, layer, padding,
+            b1 & 1, (b3 >> 6) & 0x3)
+
+
+def parse_frame_header(buf: bytes, off: int) -> Mp3Frame | None:
+    """Decode the 4 header bytes at ``off``; None if not a valid frame
+    header (bad sync / reserved fields / free-format)."""
+    f = _header_fields(buf, off)
+    if f is None:
+        return None
+    size, spf, br_kbps, sr, ver_bits, layer, padding, protection, mode_bits = f
     mode = ("stereo", "joint_stereo", "dual_channel", "mono")[mode_bits]
     return Mp3Frame(
-        offset=off, size=size, version=version, layer=layer,
-        bitrate_kbps=bitrate // 1000, sample_rate=sr,
-        channels=1 if mode == "mono" else 2,
-        samples=_samples_per_frame(vgroup, layer),
-        padding=padding, has_crc=protection == 0, mode=mode,
+        offset=off, size=size, version={3: "1", 2: "2", 0: "2.5"}[ver_bits],
+        layer=layer, bitrate_kbps=br_kbps, sample_rate=sr,
+        channels=1 if mode == "mono" else 2, samples=spf,
+        padding=bool(padding), has_crc=protection == 0, mode=mode,
     )
 
 
@@ -167,22 +178,58 @@ def parse_mp3_frames(buf: bytes, *, max_resync: int = 1 << 16) -> list[Mp3Frame]
 
 def mp3_stream_info(buf: bytes) -> dict:
     """Container-exact stream metadata: frame count, duration, bitrate
-    statistics, CBR/VBR mode (Xing/Info/VBRI-aware), layout fields."""
-    frames = parse_mp3_frames(buf)
-    f0 = frames[0]
+    statistics, CBR/VBR mode (Xing/Info/VBRI-aware), layout fields.
+
+    This is the 100 TB catalog-scan hot path, so after locating the first
+    frame it hops the stream with the tuple-core header decoder and plain
+    integer accumulators — no per-frame objects (~3× the object-building
+    walk; a 3-hour clip is ~300k frames). Same resync/truncation rules as
+    :func:`parse_mp3_frames`."""
+    n = len(buf)
+    pos = _id3v2_size(buf)
+    scanned = 0
+    f0 = None
+    while pos + 4 <= n:
+        hdr = _header_fields(buf, pos)
+        if hdr is not None and pos + hdr[0] <= n:
+            f0 = parse_frame_header(buf, pos)
+            break
+        pos += 1
+        scanned += 1
+        if scanned > (1 << 16):
+            break
+    if f0 is None:
+        raise ValueError("not an MPEG audio stream (no frame sync found)")
     xing = _xing_frame_count(buf, f0)
-    audio = frames
-    if xing is not None and len(frames) > 1:
-        audio = frames[1:]  # the Xing/Info frame is a metadata placeholder
-    n_frames = xing if xing is not None else len(audio)
-    n_samples = sum(f.samples for f in audio[: n_frames])
-    rates = sorted({f.bitrate_kbps for f in audio})
-    total_bytes = sum(f.size for f in audio)
-    dur = n_samples / f0.sample_rate if f0.sample_rate else 0.0
+    declared = xing  # None => count as we go
+    # audio frames exclude the Xing/Info metadata placeholder
+    pos = f0.offset + f0.size if xing is not None else f0.offset
+    nf = ns = tb = 0
+    brs: set[int] = set()
+    while pos + 4 <= n:
+        f = _header_fields(buf, pos)
+        if f is None:
+            pos += 1  # resync
+            continue
+        size = f[0]
+        if pos + size > n:
+            break  # truncated tail frame
+        if declared is None or nf < declared:
+            ns += f[1]
+        nf += 1
+        tb += size
+        brs.add(f[2])
+        pos += size
+    if nf == 0:  # Xing-tagged stream with no further frames: count frame 0
+        nf, tb = 1, f0.size
+        ns = f0.samples if (declared is None or declared >= 1) else 0
+        brs = {f0.bitrate_kbps}
+    rates = sorted(brs)
+    dur = ns / f0.sample_rate if f0.sample_rate else 0.0
     return {
-        "n_frames": len(audio),
-        "declared_frames": n_frames,
-        "n_samples": n_samples,
+        "n_frames": nf,
+        "declared_frames": xing if xing is not None else nf,
+        "n_samples": ns,
         "sample_rate": f0.sample_rate,
         "channels": f0.channels,
         "mode": f0.mode,
@@ -192,7 +239,7 @@ def mp3_stream_info(buf: bytes) -> dict:
         "bitrate_mode": "cbr" if len(rates) == 1 and xing is None else "vbr",
         "min_bitrate_kbps": rates[0],
         "max_bitrate_kbps": rates[-1],
-        "avg_bitrate_kbps": (total_bytes * 8 / 1000.0 / dur) if dur else 0.0,
+        "avg_bitrate_kbps": (tb * 8 / 1000.0 / dur) if dur else 0.0,
         "has_crc": f0.has_crc,
     }
 
