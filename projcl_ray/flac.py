@@ -504,6 +504,11 @@ def _plan_residual(resid: np.ndarray, order: int, bs: int):
     is identical to the scalar scan (ties break to the smallest k / to
     rice over escape), so the output bytes are unchanged."""
     r = resid.astype(np.int64, copy=False)
+    from . import fastcodec
+
+    got = fastcodec.flac_plan_full(np.ascontiguousarray(r), bs, order)
+    if got is not None:  # whole plan in one C pass, identical selection
+        return got
     u = ((r << 1) ^ (r >> 63)).astype(np.uint64)
     pmax = -1
     for porder in range(0, 7):
@@ -519,7 +524,8 @@ def _plan_residual(resid: np.ndarray, order: int, bs: int):
     K = min(30, max(1, int(u.max()).bit_length() + 1)) if len(u) else 1
     ssum = np.empty((K, P), np.int64)
     for k in range(K):
-        ssum[k] = np.add.reduceat((u >> np.uint64(k)).astype(np.int64), starts)
+        ssum[k] = np.add.reduceat((u >> np.uint64(k)).astype(np.int64),
+                                  starts)
     fmx = np.maximum.reduceat(r, starts)
     fmn = np.minimum.reduceat(r, starts)
     fnz = np.add.reduceat((r != 0).astype(np.int64), starts)
@@ -539,18 +545,20 @@ def _plan_residual(resid: np.ndarray, order: int, bs: int):
         mx = fmx.reshape(nparts, g).max(axis=1)
         mn = fmn.reshape(nparts, g).min(axis=1)
         nonzero = fnz.reshape(nparts, g).sum(axis=1) > 0
-        total, plans = 4, []
-        for p in range(nparts):
-            w = (max(1, (max(int(mx[p]) + 1, -int(mn[p]), 1) - 1)
-                     .bit_length() + 1) if nonzero[p] else 0)
-            esc_c = 5 + int(npart[p]) * w
-            if esc_c < rice_c[p] and w <= 31:
-                plans.append(("esc", w))
-                total += 5 + esc_c
-            else:
-                plans.append(("rice", int(k_best[p])))
-                total += 5 + int(rice_c[p])
+        # escape width w = bit_length(max(mx+1, -mn, 1) - 1) + 1 when the
+        # partition has any nonzero sample, else 0 — frexp's exponent IS
+        # bit_length for non-negative integers (exact below 2^53; residual
+        # magnitudes are bounded far under that)
+        m = np.maximum(np.maximum(mx + 1, -mn), 1) - 1
+        w = np.where(nonzero,
+                     np.frexp(m.astype(np.float64))[1].astype(np.int64) + 1,
+                     np.int64(0))
+        esc_c = 5 + npart * w
+        use_esc = (esc_c < rice_c) & (w <= 31)
+        total = 4 + 5 * nparts + int(np.where(use_esc, esc_c, rice_c).sum())
         if best is None or total < best[0]:
+            plans = [("esc", int(w[p])) if use_esc[p]
+                     else ("rice", int(k_best[p])) for p in range(nparts)]
             best = (total, porder, plans)
     return best
 

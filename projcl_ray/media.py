@@ -242,14 +242,21 @@ def _ima_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
     nibs[..., 1::2] = hi
     nibs = nibs.transpose(0, 2, 1, 3).reshape(n_blocks, ch, -1)
 
-    out = np.empty((n_blocks, ch, spb), np.int16)
-    out[:, :, 0] = pred.astype(np.int16)
     flat_pred = pred.reshape(-1)
     flat_idx = idx.reshape(-1)
-    flat_nibs = nibs.reshape(n_blocks * ch, -1)
-    for t in range(spb - 1):  # lockstep across all blocks & channels
-        flat_pred, flat_idx = _ima_step_nibbles(flat_nibs[:, t], flat_pred, flat_idx)
-        out[:, :, t + 1] = flat_pred.reshape(n_blocks, ch).astype(np.int16)
+    flat_nibs = np.ascontiguousarray(nibs.reshape(n_blocks * ch, -1))
+    from . import fastcodec
+
+    rows = fastcodec.ima_decode_rows(flat_nibs, flat_pred, flat_idx)
+    if rows is not None:  # per-row C walk (sample-exact with the loop below)
+        out = rows.reshape(n_blocks, ch, spb)
+    else:
+        out = np.empty((n_blocks, ch, spb), np.int16)
+        out[:, :, 0] = pred.astype(np.int16)
+        for t in range(spb - 1):  # lockstep across all blocks & channels
+            flat_pred, flat_idx = _ima_step_nibbles(
+                flat_nibs[:, t], flat_pred, flat_idx)
+            out[:, :, t + 1] = flat_pred.reshape(n_blocks, ch).astype(np.int16)
     return out.transpose(0, 2, 1).reshape(-1, ch)
 
 
@@ -280,21 +287,27 @@ def _ima_encode(pcm: np.ndarray, block_samples: int = 1017) -> tuple[bytes, int]
     slope = ((adiff * mask).sum(axis=1)
              / np.maximum(mask.sum(axis=1), 1)).astype(np.int32)
     idx0 = np.clip(np.searchsorted(_IMA_STEPS, slope), 0, 88).astype(np.int32)
-    idx = idx0.copy()
-    nibs = np.empty((len(flat), spb - 1), np.uint8)
-    for t in range(spb - 1):
-        target = flat[:, t + 1]
-        step = _IMA_STEPS[idx]
-        diff = target - pred
-        nib = np.where(diff < 0, 8, 0).astype(np.uint8)
-        adiff = np.abs(diff)
-        nib |= np.where(adiff >= step, 4, 0).astype(np.uint8)
-        rem = adiff - np.where(adiff >= step, step, 0)
-        nib |= np.where(rem >= step >> 1, 2, 0).astype(np.uint8)
-        rem = rem - np.where(rem >= step >> 1, step >> 1, 0)
-        nib |= np.where(rem >= step >> 2, 1, 0).astype(np.uint8)
-        nibs[:, t] = nib
-        pred, idx = _ima_step_nibbles(nib, pred, idx)
+    from . import fastcodec
+
+    got = fastcodec.ima_encode_rows(np.ascontiguousarray(flat, np.int32), idx0)
+    if got is not None:  # per-row C quantizer (nibble-exact with the loop)
+        nibs = got
+    else:
+        idx = idx0.copy()
+        nibs = np.empty((len(flat), spb - 1), np.uint8)
+        for t in range(spb - 1):
+            target = flat[:, t + 1]
+            step = _IMA_STEPS[idx]
+            diff = target - pred
+            nib = np.where(diff < 0, 8, 0).astype(np.uint8)
+            adiff = np.abs(diff)
+            nib |= np.where(adiff >= step, 4, 0).astype(np.uint8)
+            rem = adiff - np.where(adiff >= step, step, 0)
+            nib |= np.where(rem >= step >> 1, 2, 0).astype(np.uint8)
+            rem = rem - np.where(rem >= step >> 1, step >> 1, 0)
+            nib |= np.where(rem >= step >> 2, 1, 0).astype(np.uint8)
+            nibs[:, t] = nib
+            pred, idx = _ima_step_nibbles(nib, pred, idx)
 
     block_align = 4 * ch + (spb - 1) * ch // 2
     groups = nibs.reshape(n_blocks, ch, -1, 8)

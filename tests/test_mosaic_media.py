@@ -297,6 +297,10 @@ def test_flac_fastcodec_c_parity():
             buf = encode_flac(pcm if ch > 1 else pcm[:, 0], 44100, bps=bps)
             os.environ["PROJCL_NO_FASTCODEC"] = "1"
             pure = decode_flac(buf)
+            # encode parity: the C residual planner (flac_plan_full) must
+            # pick the identical plan, hence identical bytes
+            assert encode_flac(pcm if ch > 1 else pcm[:, 0],
+                               44100, bps=bps) == buf
             os.environ["PROJCL_NO_FASTCODEC"] = ""
             fast = decode_flac(buf)
             np.testing.assert_array_equal(fast[0], pure[0])
@@ -430,6 +434,45 @@ def test_wav_ima_adpcm_roundtrip():
         assert got_sr == sr and len(x) == len(ref)  # fact truncates padding
         snr = 10 * np.log10((ref**2).mean() / ((x - ref) ** 2).mean())
         assert snr > 24.0
+
+
+def test_ima_adpcm_fastcodec_c_parity():
+    """The compiled per-row IMA ADPCM walks (fastcodec.ima_encode_rows /
+    ima_decode_rows) must be nibble- and sample-exact with the lockstep
+    numpy loops, mono and stereo, including a ragged tail block. Skipped
+    where no C compiler is available."""
+    import os
+
+    import pytest
+
+    from projcl_ray import fastcodec, media
+
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        if fastcodec.lib() is None:
+            pytest.skip("no C compiler in this environment")
+        rng = np.random.default_rng(5)
+        for n, ch in [(1017 * 3, 1), (5000, 2), (300, 1)]:
+            tt = np.arange(n)
+            sig = np.clip(9000 * np.sin(tt * 0.02)
+                          + rng.normal(0, 800, n), -32768, 32767)
+            pcm = sig.astype(np.int16)
+            x = (pcm if ch == 1
+                 else np.stack([pcm, (-pcm // 3).astype(np.int16)], axis=1))
+            fast_buf = media.encode_wav_ima_adpcm(x, 8000)
+            fast_dec = media.decode_wav(fast_buf)
+            os.environ["PROJCL_NO_FASTCODEC"] = "1"
+            assert media.encode_wav_ima_adpcm(x, 8000) == fast_buf
+            pure_dec = media.decode_wav(fast_buf)
+            os.environ["PROJCL_NO_FASTCODEC"] = ""
+            np.testing.assert_array_equal(fast_dec[0], pure_dec[0])
+            assert fast_dec[1] == pure_dec[1]
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
 
 
 def test_avi_selective_decode_matches_full():

@@ -124,6 +124,9 @@ def main(out_path: str) -> None:
            media.decode_wav, pcm_mb)
     record("wav_ima_adpcm", lambda: media.encode_wav_ima_adpcm(pcm, 44100),
            media.decode_wav, pcm_mb)
+    record_cfast("wav_ima_adpcm_cfast",
+                 lambda: media.encode_wav_ima_adpcm(pcm, 44100),
+                 media.decode_wav, pcm_mb)
     record("flac", lambda: flac.encode_flac(pcm, 44100), flac.decode_flac,
            pcm_mb)
     record_cfast("flac_cfast", lambda: flac.encode_flac(pcm, 44100),
@@ -152,4 +155,4 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH/codec_throughput_r4.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH/codec_throughput_r5.json")
