@@ -502,7 +502,9 @@ def _plan_residual(resid: np.ndarray, order: int, bs: int):
     increasing, so the argmin can't live there. This replaced a
     per-partition Python scan that dominated encode time. Plan selection
     is identical to the scalar scan (ties break to the smallest k / to
-    rice over escape), so the output bytes are unchanged."""
+    rice over escape), so the output bytes are unchanged. The whole plan
+    is computed by the compiled twin (fastcodec.flac_plan_full) when
+    available; this numpy body is the fallback and parity oracle."""
     r = resid.astype(np.int64, copy=False)
     from . import fastcodec
 

@@ -101,6 +101,50 @@ def test_ima_adpcm_tracks_smooth_signals_property(seed, n, ch):
     assert err < 0.03  # ~30 dB below full scale on band-limited input
 
 
+@given(st.integers(0, 2**31 - 1), st.integers(8, 6000),
+       st.sampled_from([1, 2]), st.sampled_from(["flac", "adpcm"]))
+@settings(max_examples=12, deadline=None)
+def test_audio_encode_c_parity_property(seed, n, ch, codec):
+    """Fuzz the C encode twins (flac_plan_full, ima_encode_rows /
+    ima_decode_rows) against the pure-Python loops on arbitrary random
+    signals — byte-identical encodes and sample-identical decodes at any
+    length/channel count, including white noise (worst case for both
+    predictors). No-ops (still passes) where no C compiler exists."""
+    import os
+
+    from projcl_ray import flac
+
+    rng = np.random.default_rng(seed)
+    # mix of smooth + white-noise segments to exercise rice vs escape
+    # partitions and wide ADPCM steps
+    t = np.arange(n)
+    sig = 8000 * np.sin(t * rng.uniform(0.001, 0.3))
+    sig[n // 2:] += rng.integers(-20000, 20000, n - n // 2)
+    pcm = np.clip(sig, -32768, 32767).astype(np.int16)
+    x = pcm if ch == 1 else np.stack([pcm, (-pcm // 2).astype(np.int16)], 1)
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = ""
+        if codec == "flac":
+            fast = flac.encode_flac(x, 16000)
+            dec_fast = flac.decode_flac(fast)
+            os.environ["PROJCL_NO_FASTCODEC"] = "1"
+            assert flac.encode_flac(x, 16000) == fast
+            dec_pure = flac.decode_flac(fast)
+        else:
+            fast = media.encode_wav_ima_adpcm(x, 16000)
+            dec_fast = media.decode_wav(fast)
+            os.environ["PROJCL_NO_FASTCODEC"] = "1"
+            assert media.encode_wav_ima_adpcm(x, 16000) == fast
+            dec_pure = media.decode_wav(fast)
+        np.testing.assert_array_equal(dec_fast[0], dec_pure[0])
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
+
+
 # ---------------------------------------------------------------------------
 # Corrupt-input contracts (round-5 ADVICE): every malformed stream raises
 # ValueError('corrupt ...'), never a bare struct.error / KeyError, and
