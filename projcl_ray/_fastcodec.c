@@ -187,6 +187,9 @@ long jpeg_prog_ac_segment(
     long nbits = nbytes * 8;
     BitReader br = {data, 0};
     long eobrun = 0;
+    /* the caller validates the band (T.81 G.1.1.1.1) — re-check here so a
+     * future caller can't make blk[k] write past the 64-coef block */
+    if (Ss < 1 || Se > 63 || Ss > Se) return -6;
     int32_t p1 = (int32_t)1 << Al, n1 = -((int32_t)1 << Al);
     for (long mi = 0; mi < m_count; mi++) {
         long m = m_start + mi;
@@ -477,6 +480,9 @@ long tiff_lzw_decode(const uint8_t *data, long n, uint8_t *out, long expected)
 long gif_lzw_decode(const uint8_t *data, long n, int min_code_size,
                     uint8_t *out, long n_pixels)
 {
+    /* 12-bit code space: a corrupt size >11 would overflow the 4096-entry
+     * tables (and <1 makes clear/end collide with roots) */
+    if (min_code_size < 1 || min_code_size > 11) return -2;
     int clear = 1 << min_code_size, end = clear + 1;
     int16_t prevc[4096];
     uint8_t sufx[4096], firstb[4096];

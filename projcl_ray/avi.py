@@ -27,6 +27,8 @@ import struct
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 _AVIF_HASINDEX = 0x00000010
 _AVIIF_KEYFRAME = 0x00000010
 
@@ -99,23 +101,23 @@ def encode_avi_mjpeg(frames: np.ndarray, *, fps: int = 30,
 
 
 def _iter_chunks(buf: bytes, pos: int, end: int):
-    """Yield (tag, payload_start, payload_len) walking a RIFF chunk run."""
+    """Yield (tag, payload_start, payload_len) walking a RIFF chunk run.
+    A lying chunk size (corrupt stream) is clamped to the bytes actually
+    present so downstream fixed-size unpacks stay in bounds."""
+    end = min(end, len(buf))
     while pos + 8 <= end:
         tag = buf[pos:pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
+        size = min(size, len(buf) - (pos + 8))
         yield tag, pos + 8, size
         pos += 8 + size + (size & 1)
 
 
-def decode_avi_mjpeg(buf: bytes, frame_indices=None) -> tuple[np.ndarray, float]:
-    """MJPEG AVI bytes → ((n, h, w, 4) uint8 RGBA frames, fps).
-
-    ``frame_indices`` decodes ONLY the requested frames (returned in the
-    given order) — MJPEG frames are independent, so sampled reads cost
-    O(sampled), not O(clip length); a dropped (zero-length) chunk resolves
-    to the nearest earlier real frame, matching the full-decode output."""
-    from .images import decode_image
-
+@corrupt_guard("AVI")
+def _parse_avi(buf: bytes) -> tuple[int, int, float, list[bytes]]:
+    """Container walk: header fields + every video frame chunk. All the
+    attacker-controlled offset arithmetic lives here, under the corrupt
+    guard; decode_avi_mjpeg's argument validation stays outside it."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI (no RIFF/AVI header)")
     w = h = 0
@@ -146,6 +148,19 @@ def decode_avi_mjpeg(buf: bytes, frame_indices=None) -> tuple[np.ndarray, float]
     walk(12, len(buf))
     if not jpegs:
         raise ValueError("AVI contains no video frame chunks")
+    return w, h, fps, jpegs
+
+
+def decode_avi_mjpeg(buf: bytes, frame_indices=None) -> tuple[np.ndarray, float]:
+    """MJPEG AVI bytes → ((n, h, w, 4) uint8 RGBA frames, fps).
+
+    ``frame_indices`` decodes ONLY the requested frames (returned in the
+    given order) — MJPEG frames are independent, so sampled reads cost
+    O(sampled), not O(clip length); a dropped (zero-length) chunk resolves
+    to the nearest earlier real frame, matching the full-decode output."""
+    from .images import decode_image
+
+    w, h, fps, jpegs = _parse_avi(buf)
     if frame_indices is not None:
         # resolve dropped frames to the nearest earlier real chunk, then
         # decode each needed chunk once (dedup repeated/shared sources)

@@ -17,6 +17,8 @@ import struct
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 
 def encode_bmp(arr: np.ndarray) -> bytes:
     arr = np.ascontiguousarray(arr, np.uint8)
@@ -35,6 +37,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + pixels
 
 
+@corrupt_guard("BMP")
 def decode_bmp(buf: bytes) -> np.ndarray:
     """BMP bytes → (h, w, 4) uint8 RGBA."""
     if buf[:2] != b"BM":

@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 _MAGIC = b"fLaC"
 
 # ---------------------------------------------------------------------------
@@ -716,6 +718,7 @@ def flac_stream_info(buf: bytes) -> tuple[int, int, int, int, int]:
     return pos, sr, ch, bps, total
 
 
+@corrupt_guard("FLAC")
 def decode_flac(buf: bytes) -> tuple[np.ndarray, int, int]:
     """FLAC bytes → (samples (n, channels) int32, sample_rate, bps)."""
     pos, sr, ch, bps, total = flac_stream_info(buf)

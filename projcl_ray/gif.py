@@ -28,6 +28,8 @@ import struct
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -45,6 +47,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF LZW → index array. LSB-first variable-width codes. Delegates to
     the compiled bit-exact twin when available (projcl_ray/fastcodec.py);
     this body is the fallback and parity oracle."""
+    if not 1 <= min_code_size <= 11:  # 12-bit code space (spec: 2..8)
+        raise ValueError("corrupt GIF: bad LZW minimum code size")
     from . import fastcodec
 
     got = fastcodec.gif_lzw_decode(data, min_code_size, n_pixels)
@@ -179,6 +183,7 @@ def _sub_blocks(payload: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@corrupt_guard("GIF")
 def decode_gif_frames(buf: bytes) -> tuple[np.ndarray, list[int]]:
     """GIF bytes → ((n, h, w, 4) uint8 RGBA composed frames, delays in ms).
     Frames are composed onto the logical screen per the GCE disposal rules,

@@ -35,6 +35,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ._corrupt import corrupt_guard
+
 _SF_MOD = None  # probed once per process (0 = probed, absent)
 
 
@@ -410,6 +412,7 @@ def _wav_payload_to_mono(audio_fmt: int, ch: int, bits: int, data: bytes) -> np.
     return x
 
 
+@corrupt_guard("WAV")
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE → (float32 mono samples in [-1, 1], sample_rate). Pure
     stdlib + numpy (no codec libs): PCM 8/16/24/32-bit (format 1),

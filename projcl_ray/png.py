@@ -33,6 +33,8 @@ import zlib
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 # channels per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -200,19 +202,28 @@ def _decode_pixels(stream: bytes, w: int, h: int, ch: int, depth: int,
     handling both the single sequential pass and the 7 Adam7 sub-images
     (each pass is filtered independently; empty passes contribute no
     bytes)."""
-    px = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
     bpp = max(1, ch * depth // 8)
     data = np.frombuffer(stream, np.uint8)
+    layout = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    # total length check BEFORE allocating (h, w) — a lying IHDR must fail
+    # as corrupt input, not as a multi-GB allocation attempt
+    total = 0
+    for xs, ys, xst, yst in layout:
+        pw = (w - xs + xst - 1) // xst
+        ph = (h - ys + yst - 1) // yst
+        if pw > 0 and ph > 0:
+            total += ph * ((pw * ch * depth + 7) // 8 + 1)
+    if total > len(data):
+        raise ValueError("corrupt PNG: wrong IDAT length")
+    px = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
     off = 0
-    for xs, ys, xst, yst in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+    for xs, ys, xst, yst in layout:
         pw = (w - xs + xst - 1) // xst
         ph = (h - ys + yst - 1) // yst
         if pw <= 0 or ph <= 0:
             continue
         stride = (pw * ch * depth + 7) // 8
         need = ph * (stride + 1)
-        if off + need > len(data):
-            raise ValueError("corrupt PNG: wrong IDAT length")
         rows = _unfilter(data[off : off + need], ph, stride, bpp)
         off += need
         px[ys::yst, xs::xst] = _unpack_scanbytes(rows, pw, ch, depth)
@@ -221,6 +232,7 @@ def _decode_pixels(stream: bytes, w: int, h: int, ch: int, depth: int,
     return px
 
 
+@corrupt_guard("PNG")
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 4) uint8 RGBA."""
     if buf[:8] != _SIG:
@@ -231,7 +243,11 @@ def decode_png(buf: bytes) -> np.ndarray:
     trns = None
     idat = bytearray()
     while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("corrupt PNG: truncated chunk header")
         (length,) = struct.unpack_from(">I", buf, pos)
+        if pos + 12 + length > len(buf):
+            raise ValueError("corrupt PNG: truncated chunk")
         tag = buf[pos + 4 : pos + 8]
         payload = buf[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)

@@ -31,6 +31,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ._corrupt import corrupt_guard
+
 # TIFF tag ids (TIFF 6.0 §8 + GeoTIFF)
 _T_WIDTH = 256
 _T_HEIGHT = 257
@@ -294,6 +296,7 @@ def decode_tiff_geo(buf: bytes) -> tuple[np.ndarray, GeoTags | None]:
     return _decode_tiff(buf, native=False)
 
 
+@corrupt_guard("TIFF")
 def _decode_tiff(buf: bytes, *, native: bool):
     if buf[:2] == b"II":
         e = "<"

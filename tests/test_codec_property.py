@@ -151,6 +151,88 @@ def test_audio_encode_c_parity_property(seed, n, ch, codec):
 # spec-legal oddities (JPEG 0xFF fill bytes, T.81 B.1.1.2) still decode.
 # ---------------------------------------------------------------------------
 
+
+import pytest
+
+
+def _fuzz_samples():
+    from projcl_ray import avi, bmp, flac, gif, jpeg, mp3, png, tiff
+    from projcl_ray.images import synth_pixels
+
+    img = synth_pixels(3, 48, 32)
+    img64 = ((img >> 6) << 6) + 32  # <=64 colors for the palette format
+    pcm = (3000 * np.sin(np.arange(20000) * 0.01)).astype(np.int16)
+    frames = np.stack([synth_pixels(i, 32, 24) for i in range(4)])
+    return {
+        "jpeg": (jpeg.encode_jpeg(img), jpeg.decode_jpeg),
+        "jpeg_prog": (jpeg.encode_jpeg(img, progressive=True),
+                      jpeg.decode_jpeg),
+        "png": (png.encode_png(img), png.decode_png),
+        "gif": (gif.encode_gif(img64), gif.decode_gif),
+        "bmp": (bmp.encode_bmp(img[..., :3]), bmp.decode_bmp),
+        "tiff": (tiff.encode_tiff(img[..., :3], compression="lzw"),
+                 tiff.decode_tiff),
+        "flac": (flac.encode_flac(pcm, 16000), flac.decode_flac),
+        "wav": (media.encode_wav(pcm, 16000), media.decode_wav),
+        "adpcm": (media.encode_wav_ima_adpcm(pcm, 16000), media.decode_wav),
+        "avi": (avi.encode_avi_mjpeg(frames, fps=10), avi.decode_avi_mjpeg),
+        "mp3": (mp3.synth_mp3_bytes(seed=1, n_frames=20),
+                lambda b: mp3.mp3_stream_info(b)),
+    }
+
+
+def _fuzz_decoder(name, buf, dec, trials, seed=0):
+    """Truncate / byte-flip / garbage-inject a valid stream `trials` times:
+    the decoder must either succeed or raise the documented ValueError /
+    NotImplementedError — never a foreign exception type, never a crash
+    (the round-5 fuzz found heap corruption in two C decode paths from
+    unvalidated header fields; this pins the fix)."""
+    rng = np.random.default_rng(seed)
+    for trial in range(trials):
+        b = bytearray(buf)
+        mode = trial % 3
+        if mode == 0 and len(b) > 8:
+            b = b[: rng.integers(1, len(b))]
+        elif mode == 1:
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        else:
+            pos = rng.integers(0, len(b))
+            b = (b[:pos]
+                 + bytes(rng.integers(0, 256, 16, dtype=np.uint8).tobytes())
+                 + b[pos:])
+        try:
+            dec(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the documented corrupt-input contract
+
+
+@pytest.mark.parametrize("name", ["jpeg", "jpeg_prog", "png", "gif", "bmp",
+                                  "tiff", "flac", "wav", "adpcm", "avi",
+                                  "mp3"])
+def test_corrupt_input_fuzz_contract(name):
+    buf, dec = _fuzz_samples()[name]
+    _fuzz_decoder(name, buf, dec, trials=60)
+
+
+def test_corrupt_input_fuzz_pure_paths():
+    """Same contract with the C twins disabled (the pure-Python loops are
+    the parity oracles and must hold the contract on their own)."""
+    import os
+
+    old = os.environ.get("PROJCL_NO_FASTCODEC")
+    try:
+        os.environ["PROJCL_NO_FASTCODEC"] = "1"
+        samples = _fuzz_samples()
+        for name in ("jpeg_prog", "gif", "png", "flac"):
+            buf, dec = samples[name]
+            _fuzz_decoder(name, buf, dec, trials=30, seed=7)
+    finally:
+        if old is None:
+            os.environ.pop("PROJCL_NO_FASTCODEC", None)
+        else:
+            os.environ["PROJCL_NO_FASTCODEC"] = old
+
 import pytest
 
 from projcl_ray import jpeg
