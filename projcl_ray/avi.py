@@ -124,28 +124,33 @@ def _parse_avi(buf: bytes) -> tuple[int, int, float, list[bytes]]:
     fps = 0.0
     jpegs: list[bytes] = []
 
-    def walk(pos: int, end: int):
-        nonlocal w, h, fps
-        for tag, p, size in _iter_chunks(buf, pos, end):
-            if tag == b"LIST":
-                kind = buf[p:p + 4]
-                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
-                    walk(p + 4, p + size)
-            elif tag == b"avih" and size >= 40:
-                usec, _, _, _, _, _, _, _, aw, ah = struct.unpack_from("<10I", buf, p)
-                w, h = aw, ah
-                if usec:
-                    fps = 1_000_000 / usec
-            elif tag == b"strh" and size >= 48:
-                fcc, _handler = buf[p:p + 4], buf[p + 4:p + 8]
-                if fcc == b"vids":
-                    scale, rate = struct.unpack_from("<II", buf, p + 20)
-                    if scale:
-                        fps = rate / scale
-            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                jpegs.append(buf[p:p + size])
-
-    walk(12, len(buf))
+    # explicit iterator stack (same depth-first chunk order as recursion
+    # would give) — a crafted deeply-nested LIST chain must not be able to
+    # blow the Python stack (RecursionError is not a corrupt-input error)
+    stack = [_iter_chunks(buf, 12, len(buf))]
+    while stack:
+        try:
+            tag, p, size = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        if tag == b"LIST":
+            kind = buf[p:p + 4]
+            if kind in (b"hdrl", b"strl", b"movi", b"rec "):
+                stack.append(_iter_chunks(buf, p + 4, p + size))
+        elif tag == b"avih" and size >= 40:
+            usec, _, _, _, _, _, _, _, aw, ah = struct.unpack_from("<10I", buf, p)
+            w, h = aw, ah
+            if usec:
+                fps = 1_000_000 / usec
+        elif tag == b"strh" and size >= 48:
+            fcc, _handler = buf[p:p + 4], buf[p + 4:p + 8]
+            if fcc == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, p + 20)
+                if scale:
+                    fps = rate / scale
+        elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+            jpegs.append(buf[p:p + size])
     if not jpegs:
         raise ValueError("AVI contains no video frame chunks")
     return w, h, fps, jpegs

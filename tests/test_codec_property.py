@@ -215,6 +215,28 @@ def test_corrupt_input_fuzz_contract(name):
     _fuzz_decoder(name, buf, dec, trials=60)
 
 
+def test_pathological_structures_no_crash():
+    """Crafted (not random) hostile structures: a deeply nested RIFF LIST
+    chain must not blow the Python stack (the walk is an explicit iterator
+    stack), and a TIFF whose IFD points back at itself must error as
+    corrupt input, not loop."""
+    import struct
+
+    from projcl_ray import avi, tiff
+
+    body = b"00dc" + struct.pack("<I", 0)
+    for _ in range(20000):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"movi" + body
+    bomb = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(bomb)
+
+    hdr = b"II*\x00" + struct.pack("<I", 8)
+    ifd = struct.pack("<H", 0) + struct.pack("<I", 8)  # 0 tags, next -> self
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(hdr + ifd)
+
+
 def test_corrupt_input_fuzz_pure_paths():
     """Same contract with the C twins disabled (the pure-Python loops are
     the parity oracles and must hold the contract on their own)."""
