@@ -277,7 +277,17 @@ def decode_png(buf: bytes) -> np.ndarray:
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
     ch = _CHANNELS[color]
-    px = _decode_pixels(zlib.decompress(bytes(idat)), w, h, ch, depth, interlace)
+    # cap inflation at the raster the IHDR promises (+1 spare byte so a
+    # too-long stream is detectable): a zlib bomb costs at most `exp`
+    # bytes of memory, not whatever it inflates to
+    exp = 0
+    for xs, ys, xst, yst in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        pw = (w - xs + xst - 1) // xst
+        ph = (h - ys + yst - 1) // yst
+        if pw > 0 and ph > 0:
+            exp += ph * ((pw * ch * depth + 7) // 8 + 1)
+    px = _decode_pixels(zlib.decompressobj().decompress(bytes(idat), exp + 1),
+                        w, h, ch, depth, interlace)
 
     # native→8-bit sample reduction: 16-bit rounds by /257; sub-byte gray
     # scales by 255/(2^d−1) (exact: 1→255, 3→85, 15→17); palette indices

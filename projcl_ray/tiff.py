@@ -258,7 +258,9 @@ def _decode_segments(buf, e, tags, offsets, counts, seg_w, seg_h, spp, raw_len):
         elif compression == 5:
             data = _lzw_decode_tiff(raw, raw_len)
         elif compression in (8, 32946):
-            data = zlib.decompress(raw)
+            # cap inflation at the segment size the IFD promises (+1 so a
+            # too-long stream still surfaces as a size mismatch)
+            data = zlib.decompressobj().decompress(raw, raw_len + 1)
         elif compression == 32773:
             data = _packbits_decode(raw, raw_len)
         else:
