@@ -248,10 +248,26 @@ def _read_ifd_entries(buf: bytes, e: str, ifd_off: int):
         raise ValueError(f"corrupt TIFF: {exc}") from exc
 
 
+# hardest physical expansion each codec can produce per compressed byte:
+# raw copies 1:1, PackBits 128:1 (one literal header + 128-run), deflate
+# 1032:1 (zlib's documented ceiling), LZW 4096:1 (a 9-bit code can emit a
+# 4096-byte dictionary string). A header whose promised segment size
+# exceeds this bound is lying — reject it BEFORE allocating the segment
+# (a fuzzed IFD once requested a 332 GiB strip).
+_MAX_EXPANSION = {1: 1, 5: 4096, 8: 1032, 32946: 1032, 32773: 128}
+
+
+def _seg_cap(compression: int, cnt: int) -> int:
+    return _MAX_EXPANSION.get(compression, 1) * cnt + 64
+
+
 def _decode_segments(buf, e, tags, offsets, counts, seg_w, seg_h, spp, raw_len):
     compression = tags.get(_T_COMPRESSION, (1,))[0]
     segs = []
     for off, cnt in zip(offsets, counts):
+        if raw_len > _seg_cap(compression, cnt):
+            raise ValueError(
+                "corrupt TIFF: segment size impossible for its compressed data")
         raw = bytes(buf[off:off + cnt])
         if compression == 1:
             data = raw
@@ -342,6 +358,12 @@ def _decode_tiff(buf: bytes, *, native: bool):
         counts = tags[_T_TILE_COUNTS]
         tiles_x = (w + tw - 1) // tw
         raw_len = tw * th * spp * bps
+        # raster sanity BEFORE allocating (h, w): a valid raster fits in
+        # what its tiles could possibly decode to
+        comp = tags.get(_T_COMPRESSION, (1,))[0]
+        if h * w * spp * bps > sum(_seg_cap(comp, c) for c in counts):
+            raise ValueError(
+                "corrupt TIFF: raster larger than its tile data could decode")
         segs = _decode_segments(buf, e, tags, offsets, counts, tw, th, spp, raw_len)
         img = np.zeros((h, w, spp), dtype)
         for ti, seg in enumerate(segs):

@@ -8,7 +8,7 @@ crash. This is the harness that found the round-5 memory-safety bugs
 quick 60-trial version runs in pytest (tests/test_codec_property.py), this
 script is the deep sweep.
 
-Usage: PYTHONPATH=. python tools/fuzz_codecs.py [trials_per_format=4000]
+Usage: PYTHONPATH=. python tools/fuzz_codecs.py [trials_per_format=4000] [seed=0]
 Each format runs in a SUBPROCESS so a memory-safety crash (SIGSEGV/SIGABRT)
 is reported as CRASH for that format instead of killing the sweep.
 """
@@ -27,6 +27,7 @@ from projcl_ray import avi, bmp, flac, gif, jpeg, media, mp3, png, tiff
 from projcl_ray.images import synth_pixels
 
 name, trials = sys.argv[1], int(sys.argv[2])
+seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 img = synth_pixels(3, 48, 32)
 img64 = ((img >> 6) << 6) + 32
 pcm = (3000 * np.sin(np.arange(20000) * 0.01)).astype(np.int16)
@@ -47,7 +48,7 @@ samples = {
             lambda b: mp3.mp3_stream_info(b)),
 }
 buf, dec = samples[name]
-rng = np.random.default_rng(0)
+rng = np.random.default_rng(seed)
 leaks = 0
 for trial in range(trials):
     b = bytearray(buf)
@@ -76,11 +77,11 @@ sys.exit(1 if leaks else 0)
 """
 
 
-def main(trials: int) -> int:
+def main(trials: int, seed: int = 0) -> int:
     failed = 0
     for name in FORMATS:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD, name, str(trials)],
+            [sys.executable, "-c", _CHILD, name, str(trials), str(seed)],
             capture_output=True, text=True)
         out = proc.stdout.strip()
         if proc.returncode != 0 and not out.endswith("leaks"):
@@ -91,9 +92,10 @@ def main(trials: int) -> int:
             print(out or f"{name}: no output (exit {proc.returncode})")
             failed += proc.returncode != 0
     print(f"\n{len(FORMATS) - failed}/{len(FORMATS)} formats clean "
-          f"at {trials} trials each")
+          f"at {trials} trials each (seed {seed})")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000))
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
+                  int(sys.argv[2]) if len(sys.argv) > 2 else 0))
