@@ -49,6 +49,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     this body is the fallback and parity oracle."""
     if not 1 <= min_code_size <= 11:  # 12-bit code space (spec: 2..8)
         raise ValueError("corrupt GIF: bad LZW minimum code size")
+    # a 9-bit code emits at most a 4096-byte dictionary string, so the
+    # frame can't be bigger than ~4096x its LZW data — reject a lying
+    # descriptor before allocating the pixel buffer
+    if n_pixels > 4096 * len(data) + 64:
+        raise ValueError("corrupt GIF: frame larger than its data could code")
     from . import fastcodec
 
     got = fastcodec.gif_lzw_decode(data, min_code_size, n_pixels)
